@@ -1,0 +1,285 @@
+"""Differentiable BSDFs: sample / pdf / eval triplets with masked dispatch.
+
+Replaces the function-pointer BSDF vtable of the reference
+(/root/reference/include/Terra.h:46-54, presets in src/TerraPresets.c) with
+static integer dispatch: every preset is evaluated wavefront-wide and lanes
+select their material's result by mask. With a handful of cheap analytic
+lobes this is faster on TPU than any per-lane branching (no divergence, no
+gathers) and keeps everything differentiable w.r.t. the attribute tensor.
+
+Presets:
+  DIFFUSE — cosine-weighted Lambert (TerraPresets.c:34-60)
+  PHONG   — kd/ks energy split + lobe roulette (TerraPresets.c:66-146).
+            The reference smuggles the lobe pick through a surface attribute
+            slot (TerraPresets.c:87-95, 109-122); here it is an explicit
+            ``aux`` value threaded through sample->pdf.
+  GGX     — Cook-Torrance microfacet with Smith G and Schlick Fresnel; a
+            proper rebuild of the reference's disabled rough-dielectric
+            preset (TerraPresets.c:298-395).
+  MIRROR  — perfect specular delta lobe (extension).
+
+All functions are batched: attrs (N,8,3), directions (N,3).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import math3
+from .scene import ATTR, BSDFType
+from .surface import Surface
+
+__all__ = ["sample", "pdf", "eval_f", "NUM_BSDF_TYPES"]
+
+NUM_BSDF_TYPES = 4
+PI = np.float32(np.pi)
+INV_PI = np.float32(1.0 / np.pi)
+EPS = np.float32(1e-4)
+
+
+def _cosine_hemisphere(surface: Surface, e1, e2):
+    """Cosine-weighted hemisphere about the shading normal
+    (terra_bsdf_diffuse_sample, TerraPresets.c:34-45)."""
+    r = jnp.sqrt(e1)
+    theta = 2.0 * PI * e2
+    local = jnp.stack(
+        [r * jnp.cos(theta), jnp.sqrt(jnp.maximum(0.0, 1.0 - e1)), r * jnp.sin(theta)],
+        axis=-1,
+    )
+    wi = math3.to_world(local, surface.tangent, surface.normal, surface.bitangent)
+    return math3.normalize(wi)
+
+
+# ------------------------------------------------------------------ diffuse
+
+def _diffuse_pdf(surface: Surface, wi):
+    nol = jnp.maximum(0.0, math3.dot(surface.normal, wi))
+    return nol * INV_PI
+
+
+def _diffuse_eval(surface: Surface, wi, wo):
+    return surface.attrs[..., ATTR.DIFFUSE_ALBEDO, :] * INV_PI
+
+
+# -------------------------------------------------------------------- phong
+
+def _phong_kd_ks(surface: Surface):
+    """Energy split (terra_bsdf_phong_calculate_kd_ks, TerraPresets.c:66-82)."""
+    albedo = surface.attrs[..., ATTR.PHONG_ALBEDO, :]
+    spec = surface.attrs[..., ATTR.PHONG_SPECULAR_COLOR, :]
+    diffuse = jnp.maximum(jnp.sum(albedo, axis=-1), EPS)
+    specular = jnp.sum(spec, axis=-1)
+    spec_gt = specular > diffuse
+    kd_a = 0.5 * diffuse / jnp.maximum(specular, EPS)
+    ks_b = 0.5 * specular / diffuse
+    kd = jnp.where(spec_gt, kd_a, 1.0 - ks_b)
+    ks = 1.0 - kd
+    return kd, ks
+
+
+def _phong_sample(surface: Surface, e1, e2, e3, wo):
+    """TerraPresets.c:84-106. Returns (wi, lobe) with lobe=+1 diffuse,
+    -1 specular — the reference writes this into attribute slot
+    TERRA_PHONG_SAMPLE_PICK; we return it as aux."""
+    kd, _ = _phong_kd_ks(surface)
+    take_diffuse = e3 < kd
+    wi_d = _cosine_hemisphere(surface, e1, e2)
+    # Specular lobe about the reflection direction.
+    wr = math3.reflect(wo, surface.normal)
+    t, b = math3.build_basis(wr)
+    n_exp = surface.attrs[..., ATTR.PHONG_SPECULAR_INTENSITY, 0]
+    phi = 2.0 * PI * e1
+    cos_theta = jnp.power(jnp.maximum(1.0 - e2, 0.0), 1.0 / (n_exp + 1.0))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    local = jnp.stack(
+        [sin_theta * jnp.cos(phi), cos_theta, sin_theta * jnp.sin(phi)], axis=-1
+    )
+    wi_s = math3.normalize(math3.to_world(local, t, wr, b))
+    wi = jnp.where(take_diffuse[..., None], wi_d, wi_s)
+    lobe = jnp.where(take_diffuse, 1.0, -1.0)
+    return wi, lobe
+
+
+def _phong_pdf(surface: Surface, wi, wo, lobe):
+    """TerraPresets.c:108-123 — pdf of the *picked* lobe (reference
+    semantics; the lobe flag rides along instead of an attribute slot)."""
+    diffuse_pdf = _diffuse_pdf(surface, wi)
+    wr = math3.reflect(wo, surface.normal)
+    cos_alpha = jnp.maximum(0.0, math3.dot(wi, wr))
+    n_exp = surface.attrs[..., ATTR.PHONG_SPECULAR_INTENSITY, 0]
+    spec_pdf = (n_exp + 1.0) / (2.0 * PI) * jnp.power(cos_alpha, n_exp)
+    return jnp.where(lobe > 0.0, diffuse_pdf, spec_pdf)
+
+
+def _phong_eval(surface: Surface, wi, wo):
+    """TerraPresets.c:125-140."""
+    kd, ks = _phong_kd_ks(surface)
+    albedo = surface.attrs[..., ATTR.PHONG_ALBEDO, :]
+    spec = surface.attrs[..., ATTR.PHONG_SPECULAR_COLOR, :]
+    n_exp = surface.attrs[..., ATTR.PHONG_SPECULAR_INTENSITY, 0]
+    wr = math3.reflect(wo, surface.normal)
+    cos_alpha = jnp.maximum(0.0, math3.dot(wi, wr))
+    diffuse_term = albedo * (kd * INV_PI)[..., None]
+    spec_term = spec * (
+        ks * jnp.power(cos_alpha, n_exp) * (n_exp + 2.0) / (2.0 * PI)
+    )[..., None]
+    return diffuse_term + spec_term
+
+
+# ---------------------------------------------------------------------- ggx
+
+def _schlick_weight(cos_theta):
+    """(1-cos)^5 (TerraPresets.c:7-11)."""
+    m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+    m2 = m * m
+    return m2 * m2 * m
+
+
+def _ggx_params(surface: Surface):
+    rough = jnp.clip(surface.attrs[..., ATTR.GGX_ROUGHNESS, 0], 1e-3, 1.0)
+    metal = jnp.clip(surface.attrs[..., ATTR.GGX_METALNESS, 0], 0.0, 1.0)
+    albedo = surface.attrs[..., ATTR.GGX_ALBEDO, :]
+    alpha = rough * rough
+    return albedo, rough, metal, alpha
+
+
+def _ggx_D(noh, alpha):
+    a2 = alpha * alpha
+    den = noh * noh * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(PI * den * den, 1e-8)
+
+
+def _smith_g1(nov, alpha):
+    a2 = alpha * alpha
+    return 2.0 * nov / jnp.maximum(nov + jnp.sqrt(a2 + (1.0 - a2) * nov * nov), 1e-8)
+
+
+def _ggx_F0(surface: Surface, albedo, metal):
+    """F0 from ior, lerped to albedo by metalness (the reference's
+    terra_bsdf_R0, TerraPresets.c:21-27)."""
+    ior = surface.ior
+    f = (1.0 - ior) / (1.0 + ior)
+    f0 = (f * f)[..., None] * jnp.ones_like(albedo)
+    return math3.lerp(f0, albedo, metal[..., None])
+
+
+def _ggx_sample(surface: Surface, e1, e2, e3, wo):
+    """Mixture: diffuse with prob (1 - metalness), else GGX NDF half-vector
+    (theta = atan(alpha sqrt(e1) / sqrt(1-e1)), TerraPresets.c:334-344)."""
+    albedo, rough, metal, alpha = _ggx_params(surface)
+    pd = 1.0 - 0.5 * metal - 0.5 * (1.0 - metal) * 0.0  # diffuse pick prob
+    pd = jnp.clip(1.0 - metal * 0.5 - 0.25, 0.05, 0.95)  # keep both lobes alive
+    take_diffuse = e3 < pd
+    wi_d = _cosine_hemisphere(surface, e1, e2)
+    tan_theta = alpha * jnp.sqrt(e1) / jnp.sqrt(jnp.maximum(1.0 - e1, 1e-8))
+    cos_theta = jnp.reciprocal(jnp.sqrt(1.0 + tan_theta * tan_theta))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * PI * e2
+    local_h = jnp.stack(
+        [sin_theta * jnp.cos(phi), cos_theta, sin_theta * jnp.sin(phi)], axis=-1
+    )
+    h = math3.normalize(
+        math3.to_world(local_h, surface.tangent, surface.normal, surface.bitangent)
+    )
+    wi_s = math3.normalize(math3.reflect(wo, h))
+    wi = jnp.where(take_diffuse[..., None], wi_d, wi_s)
+    return wi, jnp.zeros(wi.shape[:-1], wi.dtype)
+
+
+def _ggx_pdf(surface: Surface, wi, wo):
+    """Mixture pdf: pd * cos/pi + (1-pd) * D*NoH / (4 HoV)."""
+    albedo, rough, metal, alpha = _ggx_params(surface)
+    pd = jnp.clip(1.0 - metal * 0.5 - 0.25, 0.05, 0.95)
+    h = math3.normalize(wi + wo)
+    noh = jnp.maximum(math3.dot(surface.normal, h), 0.0)
+    hov = jnp.maximum(math3.dot(h, wo), 1e-6)
+    spec_pdf = _ggx_D(noh, alpha) * noh / (4.0 * hov)
+    return pd * _diffuse_pdf(surface, wi) + (1.0 - pd) * spec_pdf
+
+
+def _ggx_eval(surface: Surface, wi, wo):
+    """Cook-Torrance: F G D / (4 NoL NoV) + (1-F)(1-metal) albedo/pi."""
+    albedo, rough, metal, alpha = _ggx_params(surface)
+    n = surface.normal
+    nol = jnp.maximum(math3.dot(n, wi), 1e-6)
+    nov = jnp.maximum(math3.dot(n, wo), 1e-6)
+    h = math3.normalize(wi + wo)
+    noh = jnp.maximum(math3.dot(n, h), 0.0)
+    loh = jnp.maximum(math3.dot(wi, h), 0.0)
+    f0 = _ggx_F0(surface, albedo, metal)
+    F = f0 + (1.0 - f0) * _schlick_weight(loh)[..., None]
+    D = _ggx_D(noh, alpha)
+    G = _smith_g1(nol, alpha) * _smith_g1(nov, alpha)
+    spec = F * (D * G / (4.0 * nol * nov))[..., None]
+    diff = albedo * INV_PI * ((1.0 - metal))[..., None] * (1.0 - F)
+    return spec + diff
+
+
+# ------------------------------------------------------------------- mirror
+
+def _mirror_sample(surface: Surface, wo):
+    return math3.normalize(math3.reflect(wo, surface.normal))
+
+
+def _mirror_pdf(surface: Surface, wi, wo):
+    """Delta lobe: pdf is 1 for the sampled direction. For arbitrary
+    directions (NEE/MIS light strategy) the pdf is 0; we return 1 where wi is
+    (numerically) the reflection and 0 elsewhere."""
+    wr = math3.reflect(wo, surface.normal)
+    aligned = math3.dot(wi, wr) > (1.0 - 1e-5)
+    return jnp.where(aligned, 1.0, 0.0)
+
+
+def _mirror_eval(surface: Surface, wi, wo):
+    """eval * NoL / pdf must equal the mirror color, so eval = color / NoL
+    on the reflection ray, 0 elsewhere."""
+    color = surface.attrs[..., ATTR.MIRROR_COLOR, :]
+    wr = math3.reflect(wo, surface.normal)
+    aligned = math3.dot(wi, wr) > (1.0 - 1e-5)
+    nol = jnp.maximum(math3.dot(surface.normal, wi), 1e-6)
+    return jnp.where(aligned[..., None], color / nol[..., None], 0.0)
+
+
+# ----------------------------------------------------------------- dispatch
+
+def _select(bsdf_type, results):
+    """Mask-select per-lane results keyed by BSDFType order."""
+    out = results[0]
+    for ty in range(1, NUM_BSDF_TYPES):
+        r = results[ty]
+        mask = bsdf_type == ty
+        if r.ndim > mask.ndim:
+            mask = mask[..., None]
+        out = jnp.where(mask, r, out)
+    return out
+
+
+def sample(surface: Surface, e0, e1, e2, wo):
+    """BSDF importance sample. Returns (wi, aux); aux carries the phong lobe
+    pick (cf. TerraPresets.c:87-95) and is threaded into :func:`pdf`."""
+    wi_d = _cosine_hemisphere(surface, e0, e1)
+    wi_p, lobe = _phong_sample(surface, e0, e1, e2, wo)
+    wi_g, _ = _ggx_sample(surface, e0, e1, e2, wo)
+    wi_m = _mirror_sample(surface, wo)
+    wi = _select(surface.bsdf_type, [wi_d, wi_p, wi_g, wi_m])
+    aux = jnp.where(surface.bsdf_type == BSDFType.PHONG, lobe, 0.0)
+    return wi, aux
+
+
+def pdf(surface: Surface, wi, wo, aux):
+    """BSDF pdf for direction wi; ``aux`` is the lobe pick from the current
+    bounce's :func:`sample` (reference semantics, TerraPresets.c:108-123)."""
+    p_d = _diffuse_pdf(surface, wi)
+    p_p = _phong_pdf(surface, wi, wo, aux)
+    p_g = _ggx_pdf(surface, wi, wo)
+    p_m = _mirror_pdf(surface, wi, wo)
+    return _select(surface.bsdf_type, [p_d, p_p, p_g, p_m])
+
+
+def eval_f(surface: Surface, wi, wo):
+    """BSDF value f(wi, wo) (N, 3)."""
+    f_d = _diffuse_eval(surface, wi, wo)
+    f_p = _phong_eval(surface, wi, wo)
+    f_g = _ggx_eval(surface, wi, wo)
+    f_m = _mirror_eval(surface, wi, wo)
+    return _select(surface.bsdf_type, [f_d, f_p, f_g, f_m])

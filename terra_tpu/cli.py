@@ -1,0 +1,260 @@
+"""Command-line interface: headless render + interactive console.
+
+Replaces the Satellite app layer (/root/reference/satellite/src/App.cpp,
+Console.cpp): the GL window/ImGui console is out of scope (headless per
+SURVEY.md §2 #21-23), but every console command has an equivalent:
+
+  load/reload -> ``terra render scene.obj`` / ``--config``
+  step/loop   -> ``--spp`` / ``--passes`` progressive accumulation
+  save        -> ``-o out.png`` (+ .hdr support)
+  opt list/set/load/save -> ``--opt k=v``, ``--config``, ``--save-config``
+  stats       -> ``--stats`` profiler report
+  console     -> ``terra console`` interactive REPL with the same commands
+
+Usage:
+    python -m terra_tpu render scene.obj --spp 64 -o out.png
+    python -m terra_tpu render --cornell --integrator direct-mis -o c.png
+    python -m terra_tpu console [scene.obj]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from . import scenes
+from .config import Config, find_config_file, load_config_file
+from .film import Film, develop
+from .profile import profiler
+from .render import render
+from .scene import Accelerator, commit
+from .checkpoint import load_render_state, save_render_state
+
+log = logging.getLogger("terra_tpu")
+
+
+def _build_scene(cfg: Config, args):
+    if getattr(args, "cornell", False) or not cfg.get("scene"):
+        scene = scenes.cornell_box(accelerator=Accelerator.BRUTE)
+        cam = scenes.cornell_camera()
+        return scene, cam
+    from .io.obj import load_obj
+
+    geom, mats, atlas = load_obj(cfg.get("scene"))
+    scene = commit(
+        geom, mats, textures=atlas,
+        env_value=cfg.get("envmap_color"),
+        accelerator=cfg.get("render_accelerator"),
+    )
+    return scene, cfg.camera()
+
+
+def _apply_opts(cfg: Config, pairs: List[str]):
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--opt expects key=value, got {pair!r}")
+        k, v = pair.split("=", 1)
+        try:
+            cfg.set(k.strip(), v.strip())
+        except KeyError:
+            raise SystemExit(
+                f"unknown option {k.strip()!r}; see `python -m terra_tpu opt-list`"
+            )
+        except (ValueError, TypeError) as e:  # bad value for a known option
+            raise SystemExit(f"bad value for option {k.strip()!r}: {v.strip()!r} ({e})")
+
+
+def cmd_render(args) -> int:
+    cfg = Config()
+    config_path = args.config or find_config_file()
+    if config_path:
+        log.info("loading config %s", config_path)
+        load_config_file(config_path, cfg)
+    if args.scene:
+        cfg.set("scene", args.scene)
+    if args.width:
+        cfg.set("width", str(args.width))
+    if args.height:
+        cfg.set("height", str(args.height))
+    if args.spp:
+        cfg.set("render_samples", str(args.spp))
+    if args.bounces is not None:
+        cfg.set("render_bounces", str(args.bounces))
+    if args.integrator:
+        cfg.set("render_integrator", args.integrator)
+    _apply_opts(cfg, args.opt)
+
+    scene, cam = _build_scene(cfg, args)
+    opts = cfg.render_options()
+    seed = int(cfg.get("seed"))
+
+    film: Optional[Film] = None
+    if args.resume and args.checkpoint:
+        try:
+            film, seed, _ = load_render_state(args.checkpoint)
+            log.info("resumed %s at %d spp", args.checkpoint, int(np.asarray(film.samples).max()))
+        except FileNotFoundError:
+            log.info("no checkpoint at %s; starting fresh", args.checkpoint)
+
+    passes = max(args.passes, 1)
+    for i in range(passes):
+        with profiler.clock("render"):
+            film = render(scene, cam, opts, seed=seed, film=film)
+            film.acc.block_until_ready()
+        if args.checkpoint:
+            save_render_state(args.checkpoint, film, seed)
+        spp_done = int(np.asarray(film.samples).max())
+        log.info("pass %d/%d done (%d spp total)", i + 1, passes, spp_done)
+
+    img = develop(film, opts.tonemap, opts.manual_exposure, opts.gamma)
+    if args.output:
+        from .io.image import save_image
+
+        save_image(args.output, np.asarray(img))
+        log.info("wrote %s", args.output)
+    if args.save_config:
+        cfg.save(args.save_config)
+    if args.stats:
+        print(profiler.report())
+    return 0
+
+
+def cmd_opt_list(_args) -> int:
+    for line in Config().describe():
+        print(line)
+    return 0
+
+
+def cmd_console(args) -> int:
+    """Interactive console with the reference's command set
+    (App.cpp:30-49): clear help load reload step loop(passes) save opt
+    resize stats."""
+    cfg = Config()
+    if args.scene:
+        cfg.set("scene", args.scene)
+    scene, cam = (None, None)
+    film: Optional[Film] = None
+    seed = 0
+
+    def ensure_scene():
+        nonlocal scene, cam
+        if scene is None:
+            scene, cam = _build_scene(cfg, args)
+        return scene, cam
+
+    print("terra_tpu console — 'help' for commands, 'exit' to quit")
+    while True:
+        try:
+            line = input("terra> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line:
+            continue
+        parts = line.split()
+        cmd, rest = parts[0], parts[1:]
+        try:
+            if cmd in ("exit", "quit"):
+                return 0
+            elif cmd == "help":
+                print("commands: load <obj> | reload | step | loop <n> | save <path> | "
+                      "opt list | opt set <k> <v> | opt load <path> | opt save <path> | "
+                      "resize <w> <h> | stats | clear | exit")
+            elif cmd == "load":
+                cfg.set("scene", rest[0]) if rest else None
+                scene = None
+                ensure_scene()
+                film = None
+                print("loaded", cfg.get("scene") or "cornell")
+            elif cmd == "reload":
+                scene = None
+                ensure_scene()
+                print("reloaded")
+            elif cmd in ("step", "loop"):
+                n = int(rest[0]) if (cmd == "loop" and rest) else 1
+                s, c = ensure_scene()
+                opts = cfg.render_options()
+                for _ in range(n):
+                    with profiler.clock("render"):
+                        film = render(s, c, opts, seed=seed, film=film)
+                        film.acc.block_until_ready()
+                print(f"{int(np.asarray(film.samples).max())} spp accumulated")
+            elif cmd == "save":
+                if film is None:
+                    print("nothing rendered")
+                    continue
+                from .io.image import save_image
+
+                opts = cfg.render_options()
+                save_image(rest[0], np.asarray(develop(film, opts.tonemap, opts.manual_exposure, opts.gamma)))
+                print("wrote", rest[0])
+            elif cmd == "opt":
+                sub = rest[0] if rest else "list"
+                if sub == "list":
+                    print("\n".join(cfg.describe()))
+                elif sub == "set":
+                    cfg.set(rest[1], " ".join(rest[2:]))
+                    film = None  # render-range options clear the film (App.cpp:619)
+                elif sub == "load":
+                    load_config_file(rest[1], cfg)
+                    film = None
+                elif sub == "save":
+                    cfg.save(rest[1])
+                elif sub == "reset":
+                    cfg = Config()
+                    film = None
+            elif cmd == "resize":
+                cfg.set("width", rest[0])
+                cfg.set("height", rest[1])
+                film = None
+            elif cmd == "stats":
+                print(profiler.report() or "(no samples)")
+            elif cmd == "clear":
+                film = None
+            else:
+                print(f"unknown command {cmd!r}; try 'help'")
+        except Exception as e:  # console must not die on bad input
+            print(f"error: {e}")
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="[%(levelname).1s] %(message)s")
+    p = argparse.ArgumentParser(prog="terra_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to an image")
+    pr.add_argument("scene", nargs="?", help="OBJ scene path")
+    pr.add_argument("--cornell", action="store_true", help="use the built-in Cornell box")
+    pr.add_argument("-o", "--output", help="output image (.png/.jpg/.hdr)")
+    pr.add_argument("--width", type=int)
+    pr.add_argument("--height", type=int)
+    pr.add_argument("--spp", type=int, help="samples per pixel per pass")
+    pr.add_argument("--bounces", type=int)
+    pr.add_argument("--integrator", help="simple|direct|direct-mis|debug-*")
+    pr.add_argument("--passes", type=int, default=1, help="progressive passes (the reference's loop)")
+    pr.add_argument("--config", help="config file (default: search satellite.config)")
+    pr.add_argument("--save-config", help="write effective options to file")
+    pr.add_argument("--opt", action="append", metavar="K=V", help="set any registry option")
+    pr.add_argument("--checkpoint", help="render-state checkpoint path (.npz)")
+    pr.add_argument("--resume", action="store_true", help="resume from checkpoint if present")
+    pr.add_argument("--stats", action="store_true", help="print profiler stats")
+    pr.set_defaults(func=cmd_render)
+
+    po = sub.add_parser("opt-list", help="list all options")
+    po.set_defaults(func=cmd_opt_list)
+
+    pc = sub.add_parser("console", help="interactive console")
+    pc.add_argument("scene", nargs="?")
+    pc.add_argument("--cornell", action="store_true")
+    pc.set_defaults(func=cmd_console)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""Ray/primitive intersection: vectorized, wavefront-wide.
+
+Replaces the scalar geometry kernels of the reference
+(/root/reference/src/TerraGeometry.c and the slab AABB test at
+Terra.c:851-878) with batched jnp implementations that map onto the VPU:
+
+  * Moller-Trumbore ray/triangle (TerraGeometry.c:34-87 and the legacy path
+    Terra.c:880-1020), fully vectorized over (rays x triangles).
+  * Wald2013-style watertight test (TerraGeometry.c:98-259) for use inside
+    the Pallas BVH traversal kernel; the f64 fallback of the reference
+    (TerraGeometry.c:204-208) is replaced by an epsilon-free sign-consistency
+    test in f32 (TPU has no cheap f64).
+  * A brute-force closest-hit sweep: for small scenes (Cornell-class) a
+    dense rays-x-triangles test is the *fastest* TPU strategy — perfectly
+    regular work with zero divergence — so it is a first-class accelerator
+    (Accelerator.BRUTE), not a fallback.
+
+Gradient policy: raycast produces discrete indices + t under stop_gradient;
+differentiable hit attributes are recomputed from the chosen triangle in
+``surface.py`` (SURVEY.md §7 hard part (b)).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import math3
+
+__all__ = ["RayHit", "ray_aabb", "moller_trumbore", "raycast_brute", "RAY_OFFSET_DIR", "SURFACE_OFFSET_NORMAL"]
+
+RAY_OFFSET_DIR = np.float32(1e-3)  # origin nudge along dir (Terra.c:1629)
+SURFACE_OFFSET_NORMAL = np.float32(1e-4)  # normal offset (Terra.c:1716)
+T_FAR = np.float32(3.4e38)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["t", "tri", "hit"],
+    meta_fields=[],
+)
+@dataclass
+class RayHit:
+    """Closest-hit result per lane.
+
+    t   : (N,) f32 — hit distance from the (offset) ray origin, T_FAR on miss
+    tri : (N,) i32 — global triangle index (0 on miss; check ``hit``)
+    hit : (N,) bool
+    """
+
+    t: jax.Array
+    tri: jax.Array
+    hit: jax.Array
+
+
+def ray_aabb(o, inv_d, box_min, box_max):
+    """Branchless slab test (terra_ray_aabb_intersection, Terra.c:851-878).
+    All args broadcastable (..., 3); returns (hit, tmin, tmax)."""
+    t1 = (box_min - o) * inv_d
+    t2 = (box_max - o) * inv_d
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return tmax > jnp.maximum(tmin, 0.0), tmin, tmax
+
+
+def moller_trumbore(o, d, a, b, c, eps: float = 1e-4):
+    """Vectorized Moller-Trumbore (TerraGeometry.c:34-87; epsilon matches
+    terra_Epsilon). Broadcasts rays (..., 3) against triangles (..., 3).
+
+    Returns (valid, t, u, v): ``valid`` requires |det| > eps, barycentric
+    inside, and t > eps (front hits only, no self-hit at origin).
+    """
+    e1 = b - a
+    e2 = c - a
+    h = math3.cross(d, e2)
+    det = math3.dot(e1, h)
+    valid = jnp.abs(det) > eps
+    f = jnp.where(valid, jnp.reciprocal(jnp.where(valid, det, 1.0)), 0.0)
+    s = o - a
+    u = f * math3.dot(s, h)
+    q = math3.cross(s, e1)
+    v = f * math3.dot(d, q)
+    t = f * math3.dot(e2, q)
+    valid = valid & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > eps)
+    return valid, t, u, v
+
+
+def _closest_hit_block(o, d, tri_a, tri_b, tri_c, base_idx):
+    """Dense (chunk, TB) test; returns per-ray (best_t, best_local_idx)."""
+    # rays: (chunk, 3) -> (chunk, 1, 3); tris: (TB, 3) -> (1, TB, 3)
+    valid, t, _, _ = moller_trumbore(
+        o[:, None, :], d[:, None, :], tri_a[None], tri_b[None], tri_c[None]
+    )
+    t = jnp.where(valid, t, T_FAR)
+    best = jnp.argmin(t, axis=1)
+    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    return best_t, base_idx + best.astype(jnp.int32)
+
+
+def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 8192, tri_block: int = 1024) -> RayHit:
+    """Closest-hit over all triangles, chunked to bound memory.
+
+    o, d : (N, 3) rays (origins already offset by the caller)
+    tri_* : (T, 3) triangle corners
+
+    Outer ``lax.map`` over ray chunks x inner ``lax.scan`` over triangle
+    blocks with a running (best_t, best_idx) carry — the TPU analogue of the
+    reference's per-ray loop over BVH leaves (TerraBVH.c:250-310) when the
+    scene is small enough that a dense sweep beats pointer chasing.
+    """
+    n = o.shape[0]
+    t_count = tri_a.shape[0]
+    ray_chunk = min(ray_chunk, max(n, 1))
+    tri_block = min(tri_block, max(t_count, 1))
+
+    # Pad rays to a chunk multiple, triangles to a block multiple.
+    n_pad = -n % ray_chunk
+    t_pad = -t_count % tri_block
+    if n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], axis=0)
+        d = jnp.concatenate([d, jnp.ones((n_pad, 3), d.dtype)], axis=0)
+    if t_pad:
+        # Degenerate (zero-area) padding triangles never intersect.
+        z = jnp.zeros((t_pad, 3), tri_a.dtype)
+        tri_a = jnp.concatenate([tri_a, z], axis=0)
+        tri_b = jnp.concatenate([tri_b, z], axis=0)
+        tri_c = jnp.concatenate([tri_c, z], axis=0)
+
+    num_blocks = tri_a.shape[0] // tri_block
+    blk_a = tri_a.reshape(num_blocks, tri_block, 3)
+    blk_b = tri_b.reshape(num_blocks, tri_block, 3)
+    blk_c = tri_c.reshape(num_blocks, tri_block, 3)
+    block_base = (jnp.arange(num_blocks, dtype=jnp.int32) * tri_block)
+
+    def per_chunk(rays):
+        co, cd = rays
+
+        def scan_block(carry, blk):
+            best_t, best_i = carry
+            a_, b_, c_, base = blk
+            t_blk, i_blk = _closest_hit_block(co, cd, a_, b_, c_, base)
+            take = t_blk < best_t
+            return (
+                jnp.where(take, t_blk, best_t),
+                jnp.where(take, i_blk, best_i),
+            ), None
+
+        init = (
+            jnp.full((ray_chunk,), T_FAR, jnp.float32),
+            jnp.zeros((ray_chunk,), jnp.int32),
+        )
+        (best_t, best_i), _ = jax.lax.scan(
+            scan_block, init, (blk_a, blk_b, blk_c, block_base)
+        )
+        return best_t, best_i
+
+    num_chunks = o.shape[0] // ray_chunk
+    if num_chunks == 1:
+        best_t, best_i = per_chunk((o, d))
+    else:
+        best_t, best_i = jax.lax.map(
+            per_chunk,
+            (o.reshape(num_chunks, ray_chunk, 3), d.reshape(num_chunks, ray_chunk, 3)),
+        )
+        best_t = best_t.reshape(-1)
+        best_i = best_i.reshape(-1)
+    best_t = best_t[:n]
+    best_i = best_i[:n]
+    hit = best_t < T_FAR
+    return RayHit(
+        t=jax.lax.stop_gradient(best_t),
+        tri=jax.lax.stop_gradient(jnp.where(hit, best_i, 0)),
+        hit=hit,
+    )

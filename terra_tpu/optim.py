@@ -1,0 +1,195 @@
+"""Inverse rendering: pixel-loss gradients on scene parameters.
+
+BASELINE.md config 4: recover BSDF albedo/roughness + emission (and
+optionally vertex positions / camera) by gradient descent on a pixel loss.
+The reference renderer has no gradients at all — this subsystem is the
+*point* of the TPU re-design: the whole wavefront renderer is jnp, the RNG
+is counter-based (replay-exact), and discrete choices are stop-gradiented,
+so reverse-mode through the full bounce scan just works.
+
+Distributed: the sharded train step runs the forward+backward wavefront
+under ``shard_map`` with pixel rows / samples sharded; scene-parameter
+gradients are ``psum``-all-reduced over the mesh (ICI), which XLA overlaps
+with the backward sweep where profitable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .ops import rng as rng_mod
+from .render import render_rows
+from .scene import Camera, RenderOptions, Scene
+
+__all__ = ["inject_params", "extract_params", "make_loss_fn", "make_train_step", "make_train_step_sharded", "recover"]
+
+# Parameter groups that can be optimized (pytree leaf paths into Scene).
+PARAM_FIELDS = ("attrs", "emissive", "positions")
+
+
+def extract_params(scene: Scene, fields=("attrs", "emissive")) -> Dict[str, jax.Array]:
+    """Pull the requested continuous leaves out of a scene."""
+    out: Dict[str, jax.Array] = {}
+    for f in fields:
+        if f == "attrs":
+            out["attrs"] = scene.materials.attrs
+        elif f == "emissive":
+            out["emissive"] = scene.materials.emissive
+        elif f == "positions":
+            out["positions"] = scene.geometry.positions
+        else:
+            raise KeyError(f)
+    return out
+
+
+def inject_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
+    """Rebuild the scene with parameter leaves replaced (pure)."""
+    mats = scene.materials
+    geom = scene.geometry
+    if "attrs" in params:
+        mats = dataclasses.replace(mats, attrs=params["attrs"])
+    if "emissive" in params:
+        mats = dataclasses.replace(mats, emissive=params["emissive"])
+    if "positions" in params:
+        geom = dataclasses.replace(geom, positions=params["positions"])
+    return dataclasses.replace(scene, materials=mats, geometry=geom)
+
+
+def render_mean_image(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_offset, spp: int, row0=0, rows: int = 0):
+    """Differentiable mean image over ``spp`` samples (no jit wrapper so it
+    can sit inside a larger jitted/sharded computation)."""
+    rows = rows or opts.height
+    acc = render_rows(scene, cam, opts, key, sample_offset, spp, row0, rows)
+    return acc / np.float32(spp)
+
+
+def make_loss_fn(cam: Camera, opts: RenderOptions, target, spp: Optional[int] = None):
+    """Returns loss(params, scene, key, sample_offset) -> scalar MSE between
+    the rendered mean image and ``target`` (H, W, 3)."""
+    spp = spp or opts.samples_per_pixel
+
+    def loss_fn(params, scene, key, sample_offset):
+        scene_p = inject_params(scene, params)
+        img = render_mean_image(scene_p, cam, opts, key, sample_offset, spp)
+        return jnp.mean((img - target) ** 2)
+
+    return loss_fn
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, jax.Array]
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(cam: Camera, opts: RenderOptions, target, optimizer, spp: Optional[int] = None):
+    """Single-device jitted train step. Each step uses fresh sample indices
+    (sample_offset advances) so gradient noise is independent across steps."""
+    loss_fn = make_loss_fn(cam, opts, target, spp)
+    spp_eff = spp or opts.samples_per_pixel
+
+    @jax.jit
+    def step(state: TrainState, scene: Scene, key):
+        offset = state.step * spp_eff
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, scene, key, offset)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer, mesh: Mesh, spp: Optional[int] = None):
+    """Sharded train step: forward+backward wavefront under shard_map with
+    rows/samples sharded, scene-param grads psum-reduced over the mesh.
+
+    The per-device loss is the *local sum* of squared error over its row
+    band and sample slice; psum over both axes then normalizes to the
+    global mean — so gradients equal the single-device step exactly.
+    """
+    spp_eff = spp or opts.samples_per_pixel
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape["samples"]
+    assert opts.height % n_rows == 0 and spp_eff % n_samp == 0
+    rows_per = opts.height // n_rows
+    spp_per = spp_eff // n_samp
+    denom = np.float32(opts.width * opts.height * 3)
+
+    def local_loss(params, scene, key, sample_offset, tgt_rows):
+        ri = jax.lax.axis_index("rows")
+        si = jax.lax.axis_index("samples")
+        scene_p = inject_params(scene, params)
+        acc = render_rows(
+            scene_p, cam, opts, key, sample_offset + si * spp_per, spp_per,
+            ri * rows_per, rows_per,
+        )
+        # mean over the *global* sample count: psum of partial sums
+        img = jax.lax.psum(acc, "samples") / np.float32(spp_eff)
+        return jnp.sum((img - tgt_rows) ** 2) / denom
+
+    def sharded_grads(params, scene, key, sample_offset, tgt):
+        # Each device's backward sees only its own sample-shard's cotangent
+        # (psum transposes to broadcast), so grad_{ri,si} covers exactly its
+        # (row band, sample slice); one psum over the whole mesh yields the
+        # global gradient — the all-reduce the north star overlaps with the
+        # backward sweep.
+        loss, grads = jax.value_and_grad(local_loss)(params, scene, key, sample_offset, tgt)
+        grads = jax.lax.psum(grads, ("rows", "samples"))
+        loss = jax.lax.psum(loss, "rows")  # identical across sample shards
+        return loss, grads
+
+    shard_fn = jax.shard_map(
+        sharded_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("rows")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, scene: Scene, key):
+        offset = state.step * spp_eff
+        loss, grads = shard_fn(state.params, scene, key, offset, target)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def recover(
+    scene_init: Scene,
+    cam: Camera,
+    opts: RenderOptions,
+    target,
+    fields=("attrs", "emissive"),
+    steps: int = 100,
+    learning_rate: float = 5e-2,
+    seed: int = 0,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 0,
+):
+    """Run the inverse-rendering loop; returns (scene_recovered, losses)."""
+    optimizer = optax.adam(learning_rate)
+    params = extract_params(scene_init, fields)
+    state = TrainState(params, optimizer.init(params), jnp.int32(0))
+    k0, k1 = rng_mod.key_from_seed(seed)
+    key = jnp.array([k0, k1], jnp.uint32)
+    if mesh is None:
+        step_fn = make_train_step(cam, opts, target, optimizer)
+    else:
+        step_fn = make_train_step_sharded(cam, opts, target, optimizer, mesh)
+    losses = []
+    for i in range(steps):
+        state, loss = step_fn(state, scene_init, key)
+        losses.append(float(loss))
+        if log_every and (i % log_every == 0):
+            print(f"step {i:4d} loss {losses[-1]:.6f}")
+    return inject_params(scene_init, state.params), losses

@@ -1,0 +1,238 @@
+"""Wavefront path-tracing driver: the jit-compiled render step.
+
+This is the TPU re-architecture of the reference's megakernel
+(terra_render + terra_trace, /root/reference/src/Terra.c:512-635, 1039-1097):
+
+  * the per-pixel/per-sample double loop becomes one flat SoA wavefront of
+    ``H*W*spp_chunk`` lanes;
+  * the data-dependent bounce loop becomes a fixed-length ``lax.scan`` over
+    bounces with per-lane active masks (terminated lanes are masked, not
+    compacted — on a SIMD machine regular masked work beats divergence);
+  * the tile/thread-pool scheduler (satellite Renderer.cpp + Cloto.h) is
+    replaced by XLA: one jit program per sample chunk, sharded over devices
+    by the ``parallel`` module;
+  * libc rand() becomes counter-based threefry keyed by
+    (pixel, sample, bounce, stream) — replay-exact in reverse mode.
+
+Sample chunking (``opts.samples_per_launch``) bounds the HBM footprint of
+the wavefront state, mirroring how the reference's ``loop`` command adds
+spp progressively (Renderer.cpp:134-151).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bsdf, camera as camera_mod, intersect
+from .film import Film
+from .integrators import make_integrator
+from .ops import math3, rng as rng_mod
+from .ops.rng import PathStreams as S
+from .scene import Accelerator, RenderOptions, SamplingMethod, Scene, Camera
+from .surface import surface_init
+from . import textures as textures_mod
+
+__all__ = ["render", "render_chunk", "trace", "make_raycast_fn"]
+
+EPS = np.float32(1e-4)
+
+
+def make_raycast_fn(scene: Scene, opts: RenderOptions):
+    """Closest-hit raycast closure (terra_scene_raycast, Terra.c:1623-1657):
+    offsets the origin by dir*1e-3 and dispatches on the accelerator."""
+    if opts.accelerator == Accelerator.BVH and scene.bvh is not None:
+        from .accel import traverse as bvh_traverse
+
+        def raycast(o, d):
+            o = o + d * intersect.RAY_OFFSET_DIR
+            return bvh_traverse.raycast(scene, o, d)
+
+        return raycast
+
+    tri_a, tri_b, tri_c = scene.geometry.corners()
+
+    def raycast(o, d):
+        o = o + d * intersect.RAY_OFFSET_DIR
+        return intersect.raycast_brute(o, d, tri_a, tri_b, tri_c)
+
+    return raycast
+
+
+def _env_radiance(scene: Scene, d):
+    """Environment attribute eval on miss (Terra.c:1054)."""
+    const = jnp.broadcast_to(scene.env_value, d.shape)
+    if scene.textures.num_textures == 0:
+        return const
+    safe_id = jnp.maximum(scene.env_tex, 0)
+    tex = textures_mod.sample_latlong(scene.textures, jnp.broadcast_to(safe_id, d.shape[:-1]), d)
+    return jnp.where(scene.env_tex >= 0, tex, const)
+
+
+def _pixel_jitter(opts: RenderOptions, key, pixel_idx, sample_idx):
+    """Pixel-jitter uniforms per sampling method (Terra.h:143-147).
+
+    The reference constructs stratified/Halton samplers but feeds the camera
+    jitter from the PCG sampler regardless (Terra.c:553-556); here the
+    selected method actually drives the jitter (documented deviation).
+    """
+    method = opts.sampling_method
+    if method == SamplingMethod.STRATIFIED:
+        strata = max(int(opts.strata), 1)
+        stratum = (sample_idx % (strata * strata)).astype(jnp.uint32)
+        sx = (stratum % strata).astype(jnp.float32)
+        sy = (stratum // strata).astype(jnp.float32)
+        u1, u2 = rng_mod.path_uniform2(key, pixel_idx, sample_idx, 0, S.JITTER_X)
+        inv = np.float32(1.0 / strata)
+        r1 = jnp.minimum((sx + u1) * inv, np.float32(1.0 - 1e-4))
+        r2 = jnp.minimum((sy + u2) * inv, np.float32(1.0 - 1e-4))
+        return r1, r2
+    if method == SamplingMethod.HALTON:
+        r1 = rng_mod.radical_inverse(3, sample_idx)
+        r2 = rng_mod.radical_inverse(2, sample_idx)
+        return r1, r2
+    return rng_mod.path_uniform2(key, pixel_idx, sample_idx, 0, S.JITTER_X)
+
+
+def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
+    """Trace a wavefront of primary rays to radiance (terra_trace,
+    Terra.c:1039-1097). Returns (N, 3) f32 radiance per lane."""
+    raycast = make_raycast_fn(scene, opts)
+    integrator = make_integrator(opts.integrator)
+
+    def rng(bounce, stream):
+        return rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, stream)
+
+    n = o.shape[0]
+    init = dict(
+        o=o,
+        d=d,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        Lo=jnp.zeros((n, 3), jnp.float32),
+        active=jnp.ones((n,), bool),
+    )
+
+    def bounce_body(carry, bounce):
+        o, d = carry["o"], carry["d"]
+        throughput, Lo, active = carry["throughput"], carry["Lo"], carry["active"]
+
+        hit = raycast(o, d)
+        o_off = o + d * intersect.RAY_OFFSET_DIR
+        surf = surface_init(scene, o_off, d, hit.tri)
+        wo = -d
+
+        # Miss: reference multiplies throughput by the env color and ends
+        # the path WITHOUT adding to Lo (the add is commented out at
+        # Terra.c:1056); opts.env_on_miss enables the useful behavior.
+        if opts.env_on_miss:
+            env = _env_radiance(scene, d)
+            miss_mask = active & ~hit.hit
+            Lo = Lo + jnp.where(miss_mask[..., None], throughput * env, 0.0)
+        active = active & hit.hit
+
+        ctx = dict(scene=scene, rng=rng, raycast=raycast, ray_origin=o)
+        radiance = integrator(ctx, surf, wo, throughput, bounce)
+        Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
+
+        # Path continuation (Terra.c:1064-1093).
+        e0 = rng(bounce, S.BSDF_E0)
+        e1 = rng(bounce, S.BSDF_E1)
+        e2 = rng(bounce, S.BSDF_E2)
+        wi, aux = bsdf.sample(surf, e0, e1, e2, wo)
+        pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux), EPS)
+        f = bsdf.eval_f(surf, wi, wo)
+        nol = math3.dot(surf.normal, wi)
+        new_tp = throughput * f * (nol / pdf)[..., None]
+
+        # Russian roulette (Terra.c:1081-1091), optionally deferred.
+        p = math3.max3(new_tp)
+        e3 = rng(bounce, S.ROULETTE)
+        rr_on = bounce >= opts.rr_start_bounce
+        survive = jnp.where(rr_on, e3 <= p, True)
+        new_tp = jnp.where(rr_on, new_tp / (p + EPS)[..., None], new_tp)
+        active = active & survive
+
+        new_o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+        carry = dict(
+            o=jnp.where(active[..., None], new_o, o),
+            d=jnp.where(active[..., None], wi, d),
+            throughput=jnp.where(active[..., None], new_tp, throughput),
+            Lo=Lo,
+            active=active,
+        )
+        return carry, None
+
+    bounces = jnp.arange(opts.bounces + 1, dtype=jnp.int32)
+    final, _ = jax.lax.scan(bounce_body, init, bounces)
+    return final["Lo"]
+
+
+def _lane_ids(opts: RenderOptions, spp_chunk: int, sample_offset, row0=0, rows: int = 0):
+    """Flat lane layout: pixel-major, ``spp_chunk`` consecutive lanes per
+    pixel. ``row0``/``rows`` select a horizontal band (for row-sharded
+    rendering); pixel_idx stays GLOBAL so the RNG stream is invariant to
+    sharding. Returns (pixel_idx, px, py, sample_idx)."""
+    rows = rows or opts.height
+    band = jnp.arange(rows * opts.width, dtype=jnp.int32)
+    band_pixel = jnp.repeat(band, spp_chunk)
+    pixel_idx = band_pixel + row0 * opts.width
+    px = pixel_idx % opts.width
+    py = pixel_idx // opts.width
+    sample_idx = (
+        jnp.tile(jnp.arange(spp_chunk, dtype=jnp.int32), rows * opts.width) + sample_offset
+    )
+    return pixel_idx, px, py, sample_idx
+
+
+def render_rows(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_offset, spp_chunk: int, row0, rows: int):
+    """Trace a horizontal band of ``rows`` pixel rows starting at traced row
+    index ``row0`` — the shard body for row-sharded rendering. Returns the
+    (rows, W, 3) radiance sum over the chunk."""
+    pixel_idx, px, py, sample_idx = _lane_ids(opts, spp_chunk, sample_offset, row0, rows)
+    r1, r2 = _pixel_jitter(opts, key, pixel_idx, sample_idx)
+    o, d = camera_mod.generate_rays(
+        cam, opts.width, opts.height, px, py, opts.subpixel_jitter, r1, r2
+    )
+    Lo = trace(scene, opts, key, o, d, pixel_idx, sample_idx)
+    return Lo.reshape(rows, opts.width, spp_chunk, 3).sum(axis=2)
+
+
+@partial(jax.jit, static_argnames=("opts", "spp_chunk"))
+def render_chunk(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_offset, spp_chunk: int):
+    """One jit-compiled launch: trace spp_chunk samples for every pixel and
+    return the (H, W, 3) radiance *sum* over the chunk (the accumulation
+    plane contribution, Terra.c:569-572)."""
+    return render_rows(scene, cam, opts, key, sample_offset, spp_chunk, 0, opts.height)
+
+
+def render(
+    scene: Scene,
+    cam: Camera,
+    opts: RenderOptions,
+    seed: int = 0,
+    film: Optional[Film] = None,
+) -> Film:
+    """Progressive render: adds ``opts.samples_per_pixel`` samples to the
+    film (terra_render, Terra.c:512-635). Pass the returned film back in to
+    keep accumulating (the reference's ``loop`` command)."""
+    if film is None:
+        film = Film.create(opts.width, opts.height)
+    k0, k1 = rng_mod.key_from_seed(seed)
+    key = jnp.array([k0, k1], dtype=jnp.uint32)
+
+    spp = opts.samples_per_pixel
+    chunk = opts.samples_per_launch or spp
+    chunk = min(chunk, spp)
+    # Start counting samples where the film left off so re-renders draw
+    # fresh sample indices (progressive refinement).
+    base = int(np.asarray(jax.device_get(film.samples[0, 0])))
+    done = 0
+    while done < spp:
+        cur = min(chunk, spp - done)
+        acc = render_chunk(scene, cam, opts, key, jnp.int32(base + done), cur)
+        film = Film(acc=film.acc + acc, samples=film.samples + cur)
+        done += cur
+    return film

@@ -1,0 +1,165 @@
+"""Programmatic test scenes (the reference ships data scenes; tests here
+build the classic Cornell box in code, SURVEY.md §7 step 1)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .scene import (
+    ATTR,
+    Accelerator,
+    BSDFType,
+    Camera,
+    Geometry,
+    MaterialTable,
+    Scene,
+    commit,
+)
+
+__all__ = ["cornell_box", "cornell_camera", "random_triangles"]
+
+
+def _quad(v0, v1, v2, v3):
+    """Two CCW triangles for the quad v0..v3."""
+    return [(v0, v1, v2), (v0, v2, v3)]
+
+
+def make_geometry(tri_list, mat_ids, obj_ids=None) -> Geometry:
+    """Build a Geometry from a python list of ((a, b, c) corner) triples.
+    Shading normals are the (flat) geometric normals; uvs cover [0,1]."""
+    tris = np.asarray(tri_list, np.float32)  # (T, 3, 3)
+    t = tris.shape[0]
+    positions = tris.reshape(t * 3, 3)
+    tri_vidx = np.arange(t * 3, dtype=np.int32).reshape(t, 3)
+    e0 = tris[:, 1] - tris[:, 0]
+    e1 = tris[:, 2] - tris[:, 0]
+    n = np.cross(e0, e1)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    normals = np.repeat(n[:, None, :], 3, axis=1).astype(np.float32)
+    uvs = np.tile(
+        np.asarray([[0, 0], [1, 0], [1, 1]], np.float32)[None], (t, 1, 1)
+    )
+    if obj_ids is None:
+        obj_ids = np.zeros(t, np.int32)
+    return Geometry(
+        positions=jnp.asarray(positions),
+        tri_vidx=jnp.asarray(tri_vidx),
+        normals=jnp.asarray(normals),
+        uvs=jnp.asarray(uvs),
+        mat_id=jnp.asarray(np.asarray(mat_ids, np.int32)),
+        obj_id=jnp.asarray(np.asarray(obj_ids, np.int32)),
+    )
+
+
+def cornell_box(
+    accelerator: Accelerator = Accelerator.BRUTE,
+    light_emission: float = 15.0,
+    with_blocks: bool = True,
+    wall_bsdf: BSDFType = BSDFType.DIFFUSE,
+) -> Scene:
+    """Classic Cornell box, left-handed Y-up, in a 0..556-ish unit cube
+    (the standard Cornell dataset scaled as-is; camera looks down +Z).
+
+    Materials: 0 white diffuse, 1 red, 2 green, 3 light (white + emissive).
+    ``wall_bsdf`` switches the neutral walls to PHONG/GGX for the specular
+    benchmark config (BASELINE.md config 2).
+    """
+    W = 556.0  # box width
+    H = 548.8
+    D = 559.2
+    tris = []
+    mids = []
+    oids = []
+
+    def add(quad, mid, oid):
+        for tri in quad:
+            tris.append(tri)
+            mids.append(mid)
+            oids.append(oid)
+
+    # floor (y=0), ceiling, back wall (z=D), right (x=0, green), left (x=W, red)
+    add(_quad((W, 0, 0), (0, 0, 0), (0, 0, D), (W, 0, D)), 0, 0)  # floor
+    add(_quad((W, H, 0), (W, H, D), (0, H, D), (0, H, 0)), 0, 1)  # ceiling
+    add(_quad((W, 0, D), (0, 0, D), (0, H, D), (W, H, D)), 0, 2)  # back
+    add(_quad((0, 0, D), (0, 0, 0), (0, H, 0), (0, H, D)), 2, 3)  # right green
+    add(_quad((W, 0, 0), (W, 0, D), (W, H, D), (W, H, 0)), 1, 4)  # left red
+
+    # light quad slightly below the ceiling
+    lx0, lx1 = 213.0, 343.0
+    lz0, lz1 = 227.0, 332.0
+    ly = H - 0.5
+    add(_quad((lx1, ly, lz0), (lx1, ly, lz1), (lx0, ly, lz1), (lx0, ly, lz0)), 3, 5)
+
+    if with_blocks:
+        # short block
+        def box(corners_bottom, height, mid, oid):
+            b = [np.asarray(c, np.float32) for c in corners_bottom]
+            t = [c + np.asarray([0, height, 0], np.float32) for c in b]
+            add(_quad(t[0], t[1], t[2], t[3]), mid, oid)  # top
+            for i in range(4):
+                j = (i + 1) % 4
+                add(_quad(b[i], b[j], t[j], t[i]), mid, oid)
+
+        box([(130, 0, 65), (82, 0, 225), (240, 0, 272), (290, 0, 114)], 165.0, 0, 6)
+        box([(423, 0, 247), (265, 0, 296), (314, 0, 456), (472, 0, 406)], 330.0, 0, 7)
+
+    geom = make_geometry(tris, mids, oids)
+
+    m = 4
+    attrs = np.zeros((m, 8, 3), np.float32)
+    # white walls
+    attrs[0, ATTR.DIFFUSE_ALBEDO] = (0.73, 0.73, 0.73)
+    attrs[1, ATTR.DIFFUSE_ALBEDO] = (0.61, 0.06, 0.06)
+    attrs[2, ATTR.DIFFUSE_ALBEDO] = (0.12, 0.47, 0.1)
+    attrs[3, ATTR.DIFFUSE_ALBEDO] = (0.78, 0.78, 0.78)
+    bsdf_types = np.zeros(m, np.int32)
+    if wall_bsdf == BSDFType.PHONG:
+        bsdf_types[0] = BSDFType.PHONG
+        attrs[0, ATTR.PHONG_SPECULAR_COLOR] = (0.4, 0.4, 0.4)
+        attrs[0, ATTR.PHONG_SPECULAR_INTENSITY] = (32.0, 0.0, 0.0)
+    elif wall_bsdf == BSDFType.GGX:
+        bsdf_types[0] = BSDFType.GGX
+        attrs[0, ATTR.GGX_ROUGHNESS] = (0.25, 0.0, 0.0)
+        attrs[0, ATTR.GGX_METALNESS] = (0.3, 0.0, 0.0)
+    emissive = np.zeros((m, 3), np.float32)
+    emissive[3] = (light_emission, light_emission, light_emission)
+
+    materials = MaterialTable(
+        bsdf_type=jnp.asarray(bsdf_types),
+        attrs=jnp.asarray(attrs),
+        attr_tex=jnp.full((m, 8), -1, jnp.int32),
+        emissive=jnp.asarray(emissive),
+        emissive_tex=jnp.full((m,), -1, jnp.int32),
+        ior=jnp.full((m,), 1.5, jnp.float32),
+    )
+    return commit(geom, materials, accelerator=accelerator)
+
+
+def cornell_camera() -> Camera:
+    """Camera at the open face looking down +Z (left-handed)."""
+    return Camera.make(
+        position=(278.0, 273.0, -800.0),
+        direction=(0.0, 0.0, 1.0),
+        up=(0.0, 1.0, 0.0),
+        fov_deg=39.3,
+    )
+
+
+def random_triangles(n: int, seed: int = 0, scale: float = 1.0, accelerator=Accelerator.BRUTE) -> Scene:
+    """Random triangle soup for intersection/BVH stress tests."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-scale, scale, (n, 1, 3)).astype(np.float32)
+    offsets = rng.uniform(-0.1 * scale, 0.1 * scale, (n, 3, 3)).astype(np.float32)
+    tris = centers + offsets
+    geom = make_geometry(list(tris), np.zeros(n, np.int32), np.zeros(n, np.int32))
+    materials = MaterialTable(
+        bsdf_type=jnp.zeros((1,), jnp.int32),
+        attrs=jnp.full((1, 8, 3), 0.5, jnp.float32),
+        attr_tex=jnp.full((1, 8), -1, jnp.int32),
+        emissive=jnp.zeros((1, 3), jnp.float32),
+        emissive_tex=jnp.full((1,), -1, jnp.int32),
+        ior=jnp.full((1,), 1.5, jnp.float32),
+    )
+    return commit(geom, materials, accelerator=accelerator)

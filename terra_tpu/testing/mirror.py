@@ -1,0 +1,529 @@
+"""Independent NumPy CPU mirror of the renderer — the golden-image oracle.
+
+This is the "fixed-seed CPU reference render" required by BASELINE.md: a
+from-scratch float32 NumPy implementation of the same math (camera, threefry
+streams, intersection, surfaces, BSDFs, integrators, roulette) with **no JAX
+anywhere**. Golden tests render the same scene/seed through both paths and
+require lane-wise agreement (tests/test_golden.py).
+
+It mirrors the behavior of the reference renderer's inner loop
+(/root/reference/src/Terra.c:1039-1097) under the TPU build's RNG
+discipline. Kept deliberately simple and scalar-ish; only meant for tiny
+test configs.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+F32 = np.float32
+U32 = np.uint32
+EPS = F32(1e-4)
+RAY_OFFSET_DIR = F32(1e-3)
+SURFACE_OFFSET_NORMAL = F32(1e-4)
+T_FAR = F32(3.4e38)
+PI = F32(np.pi)
+
+# stream ids — must match terra_tpu.ops.rng.PathStreams
+JITTER_X, JITTER_Y = 0, 1
+BSDF_E0, BSDF_E1, BSDF_E2 = 2, 3, 4
+ROULETTE = 5
+LIGHT_PICK, LIGHT_TRI, LIGHT_U, LIGHT_V = 6, 7, 8, 9
+MIS_E0, MIS_E1, MIS_E2 = 10, 11, 12
+
+_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def _rotl(x, r):
+    return ((x << U32(r)) | (x >> U32(32 - r))).astype(U32)
+
+
+def threefry2x32_np(k0, k1, x0, x1):
+    """NumPy twin of terra_tpu.ops.rng.threefry2x32 (bit-exact)."""
+    x0 = np.asarray(x0, U32).copy()
+    x1 = np.asarray(x1, U32).copy()
+    ks = (U32(k0), U32(k1), U32(k0) ^ U32(k1) ^ U32(0x1BD11BDA))
+    with np.errstate(over="ignore"):
+        x0 = (x0 + ks[0]).astype(U32)
+        x1 = (x1 + ks[1]).astype(U32)
+        for g in range(5):
+            for r in _ROT[g % 2]:
+                x0 = (x0 + x1).astype(U32)
+                x1 = _rotl(x1, r)
+                x1 = (x1 ^ x0).astype(U32)
+            x0 = (x0 + ks[(g + 1) % 3]).astype(U32)
+            x1 = (x1 + ks[(g + 2) % 3] + U32(g + 1)).astype(U32)
+    return x0, x1
+
+
+def key_from_seed_np(seed):
+    mask = (1 << 64) - 1
+    z = (int(seed) + 0x9E3779B97F4A7C15) & mask
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+    z = z ^ (z >> 31)
+    return U32(z & 0xFFFFFFFF), U32(z >> 32)
+
+
+def uniform_np(key, pixel, sample, bounce, stream):
+    ctr1 = ((np.asarray(sample, U32) << U32(12)) | U32(int(bounce) << 6) | U32(stream)).astype(U32)
+    b0, _ = threefry2x32_np(key[0], key[1], np.asarray(pixel, U32), ctr1)
+    return ((b0 >> U32(8)).astype(F32) * F32(1.0 / (1 << 24))).astype(F32)
+
+
+def uniform2_np(key, pixel, sample, bounce, stream):
+    ctr1 = ((np.asarray(sample, U32) << U32(12)) | U32(int(bounce) << 6) | U32(stream)).astype(U32)
+    b0, b1 = threefry2x32_np(key[0], key[1], np.asarray(pixel, U32), ctr1)
+    s = F32(1.0 / (1 << 24))
+    return (b0 >> U32(8)).astype(F32) * s, (b1 >> U32(8)).astype(F32) * s
+
+
+# ---------------------------------------------------------------- vec utils
+
+def dot(a, b):
+    return np.sum(a * b, axis=-1)
+
+
+def cross(a, b):
+    return np.cross(a, b).astype(F32)
+
+
+def normalize(a):
+    n = np.sqrt(np.maximum(dot(a, a), F32(1e-20)))[..., None]
+    return (a / n).astype(F32)
+
+
+def build_basis(n):
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    cond = np.abs(nx) > np.abs(ny)
+    inv = 1.0 / np.sqrt(np.where(cond, nx * nx + nz * nz, ny * ny + nz * nz))
+    t = np.where(
+        cond[..., None],
+        np.stack([nz * inv, np.zeros_like(nz), -nx * inv], -1),
+        np.stack([np.zeros_like(nz), -nz * inv, ny * inv], -1),
+    ).astype(F32)
+    b = cross(n, t)
+    return t, b
+
+
+def to_world(local, t, n, b):
+    return local[..., 0:1] * t + local[..., 1:2] * n + local[..., 2:3] * b
+
+
+def reflect(wo, n):
+    return 2.0 * dot(wo, n)[..., None] * n - wo
+
+
+# ------------------------------------------------------------------- scene
+
+class SceneNp:
+    """NumPy view of a committed terra_tpu Scene (constant attrs only)."""
+
+    def __init__(self, scene):
+        g = scene.geometry
+        self.positions = np.asarray(g.positions, F32)
+        self.tri_vidx = np.asarray(g.tri_vidx, np.int32)
+        self.normals = np.asarray(g.normals, F32)
+        self.uvs = np.asarray(g.uvs, F32)
+        self.mat_id = np.asarray(g.mat_id, np.int32)
+        self.obj_id = np.asarray(g.obj_id, np.int32)
+        m = scene.materials
+        self.bsdf_type = np.asarray(m.bsdf_type, np.int32)
+        self.attrs = np.asarray(m.attrs, F32)
+        self.emissive = np.asarray(m.emissive, F32)
+        self.ior = np.asarray(m.ior, F32)
+        l = scene.lights
+        self.light_tri = np.asarray(l.tri_idx, np.int32)
+        self.light_area = np.asarray(l.area, F32)
+        self.light_num = int(np.asarray(l.num))
+        self.env_value = np.asarray(scene.env_value, F32)
+        self.tri_a = self.positions[self.tri_vidx[:, 0]]
+        self.tri_b = self.positions[self.tri_vidx[:, 1]]
+        self.tri_c = self.positions[self.tri_vidx[:, 2]]
+
+
+def raycast(sc: SceneNp, o, d):
+    """Brute-force closest hit; origin offset dir*1e-3 applied here."""
+    o = o + d * RAY_OFFSET_DIR
+    a, b, c = sc.tri_a[None], sc.tri_b[None], sc.tri_c[None]
+    ro, rd = o[:, None, :], d[:, None, :]
+    e1 = b - a
+    e2 = c - a
+    h = cross(rd, e2)
+    det = dot(e1, h)
+    valid = np.abs(det) > EPS
+    f = np.where(valid, 1.0 / np.where(valid, det, 1.0), 0.0).astype(F32)
+    s = ro - a
+    u = f * dot(s, h)
+    q = cross(s, e1)
+    v = f * dot(rd, q)
+    t = f * dot(e2, q)
+    valid &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > EPS)
+    t = np.where(valid, t, T_FAR).astype(F32)
+    tri = np.argmin(t, axis=1).astype(np.int32)
+    best = t[np.arange(t.shape[0]), tri]
+    hit = best < T_FAR
+    return best, np.where(hit, tri, 0), hit, o
+
+
+def surface_init(sc: SceneNp, o, d, tri):
+    va, vb, vc = sc.tri_a[tri], sc.tri_b[tri], sc.tri_c[tri]
+    e0, e1 = vb - va, vc - va
+    ng = cross(e0, e1)
+    denom = dot(d, ng)
+    safe = np.abs(denom) > 1e-12
+    t = np.where(safe, dot(va - o, ng) / np.where(safe, denom, 1.0), 0.0).astype(F32)
+    point = o + t[..., None] * d
+    p = point - va
+    d00, d11, d01 = dot(e0, e0), dot(e1, e1), dot(e0, e1)
+    dp0, dp1 = dot(p, e0), dot(p, e1)
+    div = d00 * d11 - d01 * d01
+    inv = (1.0 / np.where(np.abs(div) > 1e-20, div, 1.0)).astype(F32)
+    wb = (d11 * dp0 - d01 * dp1) * inv
+    wc = (d00 * dp1 - d01 * dp0) * inv
+    wa = 1.0 - wb - wc
+    nc = sc.normals[tri]
+    normal = normalize(
+        wa[..., None] * nc[:, 0] + wb[..., None] * nc[:, 1] + wc[..., None] * nc[:, 2]
+    )
+    mat = sc.mat_id[tri]
+    tangent, bitangent = build_basis(normal)
+    return dict(
+        point=point, normal=normal, tangent=tangent, bitangent=bitangent,
+        attrs=sc.attrs[mat], emissive=sc.emissive[mat], bsdf_type=sc.bsdf_type[mat],
+        ior=sc.ior[mat], t=t, mat=mat,
+    )
+
+
+# ------------------------------------------------------------------- bsdfs
+
+def _cosine_hemisphere(surf, e1, e2):
+    r = np.sqrt(e1)
+    th = F32(2) * PI * e2
+    local = np.stack([r * np.cos(th), np.sqrt(np.maximum(0, 1 - e1)), r * np.sin(th)], -1).astype(F32)
+    return normalize(to_world(local, surf["tangent"], surf["normal"], surf["bitangent"]))
+
+
+def _phong_kd_ks(surf):
+    albedo = surf["attrs"][..., 0, :]
+    spec = surf["attrs"][..., 1, :]
+    diffuse = np.maximum(albedo.sum(-1), EPS)
+    specular = spec.sum(-1)
+    gt = specular > diffuse
+    kd = np.where(gt, 0.5 * diffuse / np.maximum(specular, EPS), 1.0 - 0.5 * specular / diffuse)
+    return kd.astype(F32), (1.0 - kd).astype(F32)
+
+
+def bsdf_sample(surf, e0, e1, e2, wo):
+    ty = surf["bsdf_type"]
+    wi_d = _cosine_hemisphere(surf, e0, e1)
+    # phong
+    kd, _ = _phong_kd_ks(surf)
+    take_d = e2 < kd
+    wr = reflect(wo, surf["normal"])
+    t, b = build_basis(wr)
+    n_exp = surf["attrs"][..., 2, 0]
+    phi = F32(2) * PI * e0
+    ct = np.power(np.maximum(1 - e1, 0), 1.0 / (n_exp + 1)).astype(F32)
+    st = np.sqrt(np.maximum(0, 1 - ct * ct))
+    local = np.stack([st * np.cos(phi), ct, st * np.sin(phi)], -1).astype(F32)
+    wi_ps = normalize(to_world(local, t, wr, b))
+    wi_p = np.where(take_d[..., None], wi_d, wi_ps)
+    lobe = np.where(take_d, F32(1), F32(-1))
+    # ggx
+    rough = np.clip(surf["attrs"][..., 1, 0], 1e-3, 1.0)
+    metal = np.clip(surf["attrs"][..., 2, 0], 0.0, 1.0)
+    alpha = (rough * rough).astype(F32)
+    pd = np.clip(1.0 - metal * 0.5 - 0.25, 0.05, 0.95).astype(F32)
+    take_gd = e2 < pd
+    tan_t = alpha * np.sqrt(e0) / np.sqrt(np.maximum(1 - e0, 1e-8))
+    ct_g = (1.0 / np.sqrt(1 + tan_t * tan_t)).astype(F32)
+    st_g = np.sqrt(np.maximum(0, 1 - ct_g * ct_g))
+    phi_g = F32(2) * PI * e1
+    local_h = np.stack([st_g * np.cos(phi_g), ct_g, st_g * np.sin(phi_g)], -1).astype(F32)
+    h = normalize(to_world(local_h, surf["tangent"], surf["normal"], surf["bitangent"]))
+    wi_gs = normalize(reflect(wo, h))
+    wi_g = np.where(take_gd[..., None], _cosine_hemisphere(surf, e0, e1), wi_gs)
+    # mirror
+    wi_m = normalize(reflect(wo, surf["normal"]))
+
+    wi = wi_d.copy()
+    wi = np.where((ty == 1)[..., None], wi_p, wi)
+    wi = np.where((ty == 2)[..., None], wi_g, wi)
+    wi = np.where((ty == 3)[..., None], wi_m, wi)
+    aux = np.where(ty == 1, lobe, F32(0))
+    return wi, aux
+
+
+def _diffuse_pdf(surf, wi):
+    return (np.maximum(0, dot(surf["normal"], wi)) / PI).astype(F32)
+
+
+def bsdf_pdf(surf, wi, wo, aux):
+    ty = surf["bsdf_type"]
+    p = _diffuse_pdf(surf, wi)
+    # phong
+    wr = reflect(wo, surf["normal"])
+    ca = np.maximum(0, dot(wi, wr))
+    n_exp = surf["attrs"][..., 2, 0]
+    p_spec = (n_exp + 1) / (2 * PI) * np.power(ca, n_exp)
+    p_ph = np.where(aux > 0, _diffuse_pdf(surf, wi), p_spec.astype(F32))
+    # ggx
+    rough = np.clip(surf["attrs"][..., 1, 0], 1e-3, 1.0)
+    metal = np.clip(surf["attrs"][..., 2, 0], 0.0, 1.0)
+    alpha = rough * rough
+    pd = np.clip(1.0 - metal * 0.5 - 0.25, 0.05, 0.95)
+    h = normalize(wi + wo)
+    noh = np.maximum(dot(surf["normal"], h), 0)
+    hov = np.maximum(dot(h, wo), 1e-6)
+    a2 = alpha * alpha
+    den = noh * noh * (a2 - 1) + 1
+    D = a2 / np.maximum(PI * den * den, 1e-8)
+    p_g = pd * _diffuse_pdf(surf, wi) + (1 - pd) * D * noh / (4 * hov)
+    # mirror
+    aligned = dot(wi, wr) > (1.0 - 1e-5)
+    p_m = np.where(aligned, F32(1), F32(0))
+    out = p
+    out = np.where(ty == 1, p_ph, out)
+    out = np.where(ty == 2, p_g.astype(F32), out)
+    out = np.where(ty == 3, p_m, out)
+    return out.astype(F32)
+
+
+def _schlick_w(c):
+    m = np.clip(1 - c, 0, 1)
+    return (m * m) * (m * m) * m
+
+
+def bsdf_eval(surf, wi, wo):
+    ty = surf["bsdf_type"]
+    albedo = surf["attrs"][..., 0, :]
+    f_d = albedo / PI
+    # phong
+    kd, ks = _phong_kd_ks(surf)
+    spec = surf["attrs"][..., 1, :]
+    n_exp = surf["attrs"][..., 2, 0]
+    wr = reflect(wo, surf["normal"])
+    ca = np.maximum(0, dot(wi, wr))
+    f_p = albedo * (kd / PI)[..., None] + spec * (ks * np.power(ca, n_exp) * (n_exp + 2) / (2 * PI))[..., None]
+    # ggx
+    rough = np.clip(surf["attrs"][..., 1, 0], 1e-3, 1.0)
+    metal = np.clip(surf["attrs"][..., 2, 0], 0.0, 1.0)
+    alpha = rough * rough
+    n = surf["normal"]
+    nol = np.maximum(dot(n, wi), 1e-6)
+    nov = np.maximum(dot(n, wo), 1e-6)
+    h = normalize(wi + wo)
+    noh = np.maximum(dot(n, h), 0)
+    loh = np.maximum(dot(wi, h), 0)
+    ior = surf["ior"]
+    fr = ((1 - ior) / (1 + ior)) ** 2
+    f0 = fr[..., None] * np.ones_like(albedo)
+    f0 = f0 + (albedo - f0) * metal[..., None]
+    F = f0 + (1 - f0) * _schlick_w(loh)[..., None]
+    a2 = alpha * alpha
+    den = noh * noh * (a2 - 1) + 1
+    D = a2 / np.maximum(PI * den * den, 1e-8)
+    g1l = 2 * nol / np.maximum(nol + np.sqrt(a2 + (1 - a2) * nol * nol), 1e-8)
+    g1v = 2 * nov / np.maximum(nov + np.sqrt(a2 + (1 - a2) * nov * nov), 1e-8)
+    f_g = F * (D * g1l * g1v / (4 * nol * nov))[..., None] + albedo / PI * (1 - metal)[..., None] * (1 - F)
+    # mirror
+    color = surf["attrs"][..., 0, :]
+    aligned = dot(wi, wr) > (1.0 - 1e-5)
+    nol_m = np.maximum(dot(surf["normal"], wi), 1e-6)
+    f_m = np.where(aligned[..., None], color / nol_m[..., None], 0)
+    out = f_d
+    out = np.where((ty == 1)[..., None], f_p, out)
+    out = np.where((ty == 2)[..., None], f_g.astype(F32), out)
+    out = np.where((ty == 3)[..., None], f_m.astype(F32), out)
+    return out.astype(F32)
+
+
+# -------------------------------------------------------------- integrators
+
+def _light_pick_sample(sc: SceneNp, e_pick, e1, e2):
+    num = max(sc.light_num, 1)
+    slot = np.minimum((e_pick * F32(num)).astype(np.int32), num - 1)
+    pick_pdf = np.full_like(e_pick, F32(1.0 / num))
+    tri = sc.light_tri[slot]
+    a, b, c = sc.tri_a[tri], sc.tri_b[tri], sc.tri_c[tri]
+    s = np.sqrt(e1)
+    wa, wb = 1 - s, e2 * s
+    wc = 1 - wa - wb
+    pos = wa[..., None] * a + wb[..., None] * b + wc[..., None] * c
+    ncr = sc.normals[tri]
+    norm = normalize(wa[..., None] * ncr[:, 0] + wb[..., None] * ncr[:, 1] + wc[..., None] * ncr[:, 2])
+    area = sc.light_area[slot]
+    return tri, pos.astype(F32), norm, area, pick_pdf
+
+
+def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux):
+    e_pick = uniform_np(key, pix, smp, bounce, LIGHT_PICK)
+    e1 = uniform_np(key, pix, smp, bounce, LIGHT_U)
+    e2 = uniform_np(key, pix, smp, bounce, LIGHT_V)
+    tri_l, pos, norm_l, area, pick_pdf = _light_pick_sample(sc, e_pick, e1, e2)
+    p2l = pos - surf["point"]
+    wi = normalize(p2l)
+    o_sh = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
+    t, tri_h, hit, o_off = raycast(sc, o_sh, wi)
+    visible = hit & (tri_h == tri_l)
+    cos_l = dot(norm_l, -wi)
+    visible &= cos_l > 0
+    light_pdf = dot(p2l, p2l) / np.maximum(np.abs(cos_l * area), 1e-12)
+    f = bsdf_eval(surf, wi, wo)
+    nol = dot(wi, surf["normal"])
+    lsurf = surface_init(sc, o_off, wi, tri_h)
+    Le = lsurf["emissive"]
+    if want_weight:
+        bp = bsdf_pdf(surf, wi, wo, aux)
+        w = (light_pdf * light_pdf) / np.maximum(light_pdf * light_pdf + bp * bp, 1e-20)
+        visible &= light_pdf != 0
+    else:
+        w = np.ones_like(light_pdf)
+    contrib = Le * f * (nol * w / (light_pdf * pick_pdf))[..., None]
+    return np.where(visible[..., None], contrib, 0).astype(F32), tri_l
+
+
+def _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l):
+    e0 = uniform_np(key, pix, smp, bounce, MIS_E0)
+    e1 = uniform_np(key, pix, smp, bounce, MIS_E1)
+    e2 = uniform_np(key, pix, smp, bounce, MIS_E2)
+    wi, aux = bsdf_sample(surf, e0, e1, e2, wo)
+    f = bsdf_eval(surf, wi, wo)
+    bp = bsdf_pdf(surf, wi, wo, aux)
+    o_sh = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
+    t, tri_h, hit, o_off = raycast(sc, o_sh, wi)
+    hsurf = surface_init(sc, o_off, wi, tri_h)
+    ok = hit & (sc.obj_id[tri_h] == sc.obj_id[tri_l])
+    now = dot(hsurf["normal"], -wi)
+    ok &= now > 0
+    dist2 = dot(hsurf["point"] - surf["point"], hsurf["point"] - surf["point"])
+    a, b, c = sc.tri_a[tri_h], sc.tri_b[tri_h], sc.tri_c[tri_h]
+    hit_area = 0.5 * np.sqrt(dot(cross(b - a, c - a), cross(b - a, c - a)))
+    light_pdf = dist2 / np.maximum(now * hit_area, 1e-12)
+    w = (bp * bp) / np.maximum(light_pdf * light_pdf + bp * bp, 1e-20)
+    ok &= bp != 0
+    nol = dot(wi, surf["normal"])
+    contrib = hsurf["emissive"] * f * (nol * w / np.maximum(bp, 1e-20))[..., None]
+    return np.where(ok[..., None], contrib, 0).astype(F32)
+
+
+def render_mirror(scene, camera, opts, seed=0):
+    """Full mirror render -> (H, W, 3) float32 radiance mean."""
+    sc = SceneNp(scene)
+    key = key_from_seed_np(seed)
+    W, H, spp = opts.width, opts.height, opts.samples_per_pixel
+    n = W * H * spp
+    pix = np.repeat(np.arange(W * H, dtype=np.int32), spp)
+    smp = np.tile(np.arange(spp, dtype=np.int32), W * H)
+    px = (pix % W).astype(F32)
+    py = (pix // W).astype(F32)
+
+    # camera (matches terra_tpu.camera)
+    from . import mirror as _self  # noqa
+    jit = F32(opts.subpixel_jitter)
+    if opts.sampling_method == 1:  # stratified
+        strata = max(int(opts.strata), 1)
+        stratum = smp % (strata * strata)
+        sx = (stratum % strata).astype(F32)
+        sy = (stratum // strata).astype(F32)
+        u1, u2 = uniform2_np(key, pix, smp, 0, JITTER_X)
+        r1 = np.minimum((sx + u1) / strata, 1 - 1e-4).astype(F32)
+        r2 = np.minimum((sy + u2) / strata, 1 - 1e-4).astype(F32)
+    elif opts.sampling_method == 2:  # halton
+        r1 = _radical_inverse_np(3, smp)
+        r2 = _radical_inverse_np(2, smp)
+    else:
+        r1, r2 = uniform2_np(key, pix, smp, 0, JITTER_X)
+    dx = -jit + 2 * r1 * jit
+    dy = -jit + 2 * r2 * jit
+    ndc_x = (px + F32(0.5) + dx) / F32(W)
+    ndc_y = (py + F32(0.5) + dy) / F32(H)
+    sx_ = 2 * ndc_x - 1
+    sy_ = 1 - 2 * ndc_y
+    aspect = F32(W / H)
+    pos = np.asarray(camera.position, F32)
+    direction = np.asarray(camera.direction, F32)
+    up = np.asarray(camera.up, F32)
+    fov = F32(np.asarray(camera.fov_deg))
+    thf = np.tan(fov * F32(0.0174533) / 2).astype(F32)
+    fx = sx_ * aspect * thf
+    fy = sy_ * thf
+    local = normalize(np.stack([fx, fy, np.ones_like(fx)], -1).astype(F32))
+    z = normalize(direction)
+    x = normalize(cross(up, z))
+    y = cross(z, x)
+    d = local[..., 0:1] * x + local[..., 1:2] * y + local[..., 2:3] * z
+    o = np.broadcast_to(pos, d.shape).astype(F32).copy()
+
+    Lo = np.zeros((n, 3), F32)
+    tp = np.ones((n, 3), F32)
+    active = np.ones(n, bool)
+
+    for bounce in range(opts.bounces + 1):
+        t, tri, hit, o_off = raycast(sc, o, d)
+        surf = surface_init(sc, o_off, d, tri)
+        wo = -d
+        if opts.env_on_miss:
+            miss = active & ~hit
+            Lo += np.where(miss[..., None], tp * sc.env_value, 0)
+        active = active & hit
+
+        integ = int(opts.integrator)
+        if integ == 0:  # simple
+            facing = dot(wo, surf["normal"]) > 0
+            rad = np.where(facing[..., None], surf["emissive"], 0) * tp
+        elif integ == 1:  # direct
+            facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
+            Le0 = np.where(facing[..., None], surf["emissive"], 0)
+            c, _ = _nee(sc, key, pix, smp, bounce, surf, wo, False, None)
+            rad = (Le0 + c) * tp
+        elif integ == 2:  # direct mis
+            facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
+            Le0 = np.where(facing[..., None], surf["emissive"], 0)
+            e0 = uniform_np(key, pix, smp, bounce, MIS_E0)
+            e1 = uniform_np(key, pix, smp, bounce, MIS_E1)
+            e2 = uniform_np(key, pix, smp, bounce, MIS_E2)
+            _, aux = bsdf_sample(surf, e0, e1, e2, wo)
+            lc, tri_l = _nee(sc, key, pix, smp, bounce, surf, wo, True, aux)
+            bc = _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l)
+            rad = (Le0 + lc + bc) * tp
+        else:
+            rad = np.zeros((n, 3), F32)
+        Lo += np.where(active[..., None], rad, 0)
+
+        e0 = uniform_np(key, pix, smp, bounce, BSDF_E0)
+        e1 = uniform_np(key, pix, smp, bounce, BSDF_E1)
+        e2 = uniform_np(key, pix, smp, bounce, BSDF_E2)
+        wi, aux = bsdf_sample(surf, e0, e1, e2, wo)
+        pdf = np.maximum(bsdf_pdf(surf, wi, wo, aux), EPS)
+        f = bsdf_eval(surf, wi, wo)
+        nol = dot(surf["normal"], wi)
+        new_tp = tp * f * (nol / pdf)[..., None]
+        p = new_tp.max(-1)
+        e3 = uniform_np(key, pix, smp, bounce, ROULETTE)
+        rr_on = bounce >= opts.rr_start_bounce
+        survive = (e3 <= p) if rr_on else np.ones(n, bool)
+        if rr_on:
+            new_tp = new_tp / (p + EPS)[..., None]
+        active = active & survive
+        new_o = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
+        o = np.where(active[..., None], new_o, o)
+        d = np.where(active[..., None], wi, d)
+        tp = np.where(active[..., None], new_tp, tp).astype(F32)
+
+    img = Lo.reshape(H, W, spp, 3).mean(axis=2)
+    return img
+
+
+def _radical_inverse_np(base, index):
+    a = np.asarray(index, np.uint32)
+    seq = np.zeros_like(a)
+    denom = np.ones(a.shape, F32)
+    for _ in range(32):
+        live = a > 0
+        nxt = a // base
+        digit = a - nxt * base
+        seq = np.where(live, seq * base + digit, seq)
+        denom = np.where(live, denom * F32(1.0 / base), denom)
+        a = nxt
+    return np.minimum(seq.astype(F32) * denom, F32(1 - 1e-4))

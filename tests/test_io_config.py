@@ -1,0 +1,154 @@
+"""IO (OBJ/MTL, images) + config system + checkpoint tests."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+import terra_tpu as tt
+from terra_tpu.checkpoint import load_render_state, save_render_state
+from terra_tpu.config import Config, find_config_file, load_config_file
+from terra_tpu.film import Film
+from terra_tpu.io.image import load_image, save_image
+from terra_tpu.io.obj import load_obj
+
+
+@pytest.fixture
+def obj_scene(tmp_path):
+    (tmp_path / "box.mtl").write_text(textwrap.dedent("""\
+        newmtl white
+        Kd 0.7 0.7 0.7
+        illum diffuse
+        newmtl lamp
+        Kd 0 0 0
+        Ke 10 10 10
+        newmtl shiny
+        Kd 0.2 0.2 0.2
+        Ks 0.8 0.8 0.8
+        Ns 64
+        illum specular
+        newmtl metal
+        Kd 0.9 0.5 0.3
+        Pr 0.2
+        Pm 1.0
+    """))
+    (tmp_path / "box.obj").write_text(textwrap.dedent("""\
+        mtllib box.mtl
+        v 0 0 0
+        v 1 0 0
+        v 1 1 0
+        v 0 1 0
+        vn 0 0 1
+        vt 0 0
+        vt 1 0
+        vt 1 1
+        vt 0 1
+        o quad
+        usemtl white
+        f 1/1/1 2/2/1 3/3/1 4/4/1
+        o lamp
+        usemtl lamp
+        f 1/1/1 3/3/1 4/4/1
+        o shiny
+        usemtl shiny
+        f 1 2 3
+        o metal
+        usemtl metal
+        f 2 3 4
+    """))
+    return tmp_path / "box.obj"
+
+
+def test_load_obj(obj_scene):
+    geom, mats, atlas = load_obj(str(obj_scene))
+    assert geom.num_triangles == 5  # quad fans into 2 + 3 single tris
+    assert atlas.num_textures == 0
+    types = {int(t) for t in np.asarray(mats.bsdf_type)}
+    assert types == {int(tt.BSDFType.DIFFUSE), int(tt.BSDFType.PHONG), int(tt.BSDFType.GGX)}
+    em = np.asarray(mats.emissive)
+    assert (em.max(axis=-1) > 0).sum() == 1  # only the lamp emits
+    # handedness flip negates z
+    assert np.asarray(geom.positions)[:, 2].max() == 0.0
+    # obj ids distinguish the groups
+    assert len(np.unique(np.asarray(geom.obj_id))) == 4
+
+
+def test_obj_scene_renders(obj_scene):
+    geom, mats, atlas = load_obj(str(obj_scene))
+    scene = tt.commit(geom, mats, textures=atlas)
+    cam = tt.Camera.make(position=(0.5, 0.5, 2.0), direction=(0, 0, -1))
+    opts = tt.RenderOptions(width=8, height=8, samples_per_pixel=4, bounces=2,
+                            integrator=tt.Integrator.DIRECT)
+    img = np.asarray(tt.render(scene, cam, opts).mean())
+    assert np.isfinite(img).all()
+
+
+def test_image_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    save_image(p, img)
+    back = load_image(p, srgb=False)
+    assert np.abs(back - img).max() < 2 / 255
+
+
+def test_hdr_roundtrip(tmp_path):
+    from terra_tpu.io.image import load_hdr, save_hdr
+
+    img = np.asarray([[[0.5, 2.0, 10.0], [0.0, 0.0, 0.0]]], np.float32)
+    p = str(tmp_path / "t.hdr")
+    save_hdr(p, img)
+    back = load_hdr(p)
+    np.testing.assert_allclose(back, img, rtol=0.02, atol=1e-6)
+
+
+def test_config_parse_and_export(tmp_path):
+    p = tmp_path / "satellite.config"
+    p.write_text(textwrap.dedent("""\
+        # comment
+        width = 128
+        render_samples = 32
+        render_integrator = direct-mis
+        render_tonemap = uncharted2
+        camera_position = 1 2 3
+        camera_fov = 60
+    """))
+    cfg = load_config_file(str(p))
+    opts = cfg.render_options()
+    assert opts.width == 128 and opts.samples_per_pixel == 32
+    assert opts.integrator == tt.Integrator.DIRECT_MIS
+    assert opts.tonemap == tt.Tonemap.UNCHARTED2
+    cam = cfg.camera()
+    np.testing.assert_allclose(np.asarray(cam.position), [1, 2, 3])
+    # reverse-sync (opt save) then re-load
+    out = tmp_path / "saved.config"
+    cfg.save(str(out))
+    cfg2 = load_config_file(str(out))
+    assert cfg2.render_options() == opts
+
+
+def test_config_unknown_key():
+    with pytest.raises(KeyError):
+        Config().set("not_an_option", "1")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    film = Film.create(8, 4)
+    film = Film(acc=film.acc + 3.0, samples=film.samples + 7)
+    p = str(tmp_path / "state.npz")
+    save_render_state(p, film, seed=42, meta={"note": "x"})
+    film2, seed, meta = load_render_state(p)
+    assert seed == 42 and meta["note"] == "x"
+    np.testing.assert_allclose(np.asarray(film2.acc), np.asarray(film.acc))
+    np.testing.assert_array_equal(np.asarray(film2.samples), np.asarray(film.samples))
+
+
+def test_cli_render_cornell(tmp_path):
+    from terra_tpu.cli import main
+
+    out = str(tmp_path / "out.png")
+    rc = main([
+        "render", "--cornell", "-o", out, "--width", "16", "--height", "16",
+        "--spp", "2", "--bounces", "1", "--integrator", "simple",
+        "--opt", "render_accelerator=brute",
+    ])
+    assert rc == 0 and os.path.exists(out)
