@@ -28,7 +28,7 @@ def measure_avg_active(scene, cam, opts, key):
     from terra_tpu.ops.rng import PathStreams as S
     from terra_tpu import bsdf as bsdf_mod
     from terra_tpu.render import _lane_ids, _pixel_jitter, make_raycast_fn
-    from terra_tpu.surface import surface_init
+    from terra_tpu.surface import build_shade_tables, surface_init
     from terra_tpu import camera as camera_mod
 
     # Small probe render that tracks active counts per bounce.
@@ -37,13 +37,14 @@ def measure_avg_active(scene, cam, opts, key):
     r1, r2 = _pixel_jitter(probe_opts, key, pixel_idx, sample_idx)
     o, d = camera_mod.generate_rays(cam, 64, 64, px, py, probe_opts.subpixel_jitter, r1, r2)
     raycast = make_raycast_fn(scene, probe_opts)
+    tables = build_shade_tables(scene)
 
     active = jnp.ones(o.shape[0], bool)
     fractions = []
     for bounce in range(opts.bounces + 1):
         hit = raycast(o, d)
         o_off = o + d * intersect.RAY_OFFSET_DIR
-        surf = surface_init(scene, o_off, d, hit.tri)
+        surf = surface_init(scene, tables, o_off, d, hit.tri)
         wo = -d
         active = active & hit.hit
         fractions.append(float(jnp.mean(active.astype(jnp.float32))))

@@ -1,0 +1,260 @@
+"""LBVH build: Morton-ordered cluster tree over triangles.
+
+TPU re-design of the reference BVH (/root/reference/src/TerraBVH.c): the
+reference builds a per-triangle binary SAH tree (x-axis-only sweep,
+TerraBVH.c:79-126) with 2-wide nodes and an explicit traversal stack
+(TerraBVH.c:250-310). Pointer-chasing per ray is hostile to a SIMD machine,
+so here:
+
+  * triangles are sorted by the Morton code of their centroid (30-bit),
+  * consecutive runs of ``leaf_size`` triangles become fixed-size leaves
+    (uniform leaves -> fixed-shape vectorized leaf tests, no ragged work),
+  * a Karras-2012 binary radix tree is built over the leaf Morton codes
+    (vectorized, no recursion),
+  * node AABBs are refit bottom-up (also vectorized),
+  * the result is a flat SoA node table for the packet traversal in
+    ``traverse.py`` — index arrays, not pointers.
+
+Build runs host-side at commit time (NumPy), exactly like the reference's
+terra_scene_commit -> terra_bvh_create path (Terra.c:162-191). ``refit``
+re-computes AABBs only (for vertex edits / "mesh move", Scene.cpp:271-321).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LBVH", "build", "refit", "DEFAULT_LEAF_SIZE"]
+
+DEFAULT_LEAF_SIZE = 8
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "node_min",
+        "node_max",
+        "node_left",
+        "node_right",
+        "node_is_leaf",
+        "leaf_tri",
+        "tri_order",
+    ],
+    meta_fields=["leaf_size", "num_leaves"],
+)
+@dataclass
+class LBVH:
+    """Flat SoA tree. Internal nodes: 0..C-2; leaves indexed separately.
+
+    node_min/max : (C-1+C, 3) AABBs in the unified id space: rows
+                   0..C-2 are internal nodes, rows C-1.. are leaves (so a
+                   child id indexes this array directly)
+    node_left/right : (C-1,) child ids; value < C-1 = internal node id,
+                      value >= C-1 encodes leaf id (value - (C-1))
+    node_is_leaf : unused for internals (kept for clarity)
+    leaf_tri : (C, leaf_size) global triangle ids per leaf (padded by
+               repeating the last valid id; degenerate duplicates are
+               harmless for closest-hit)
+    tri_order : (T,) morton-sorted triangle permutation (for debugging)
+    leaf_size, num_leaves : static metadata
+    """
+
+    node_min: jax.Array
+    node_max: jax.Array
+    node_left: jax.Array
+    node_right: jax.Array
+    node_is_leaf: jax.Array
+    leaf_tri: jax.Array
+    tri_order: jax.Array
+    leaf_size: int
+    num_leaves: int
+
+    @property
+    def num_internal(self) -> int:
+        return self.node_left.shape[0]
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """Interleave 10 bits per axis -> 30-bit Morton codes. x in [0,1)^3."""
+    q = np.clip((x * 1024.0).astype(np.uint64), 0, 1023)
+
+    def expand(v):
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return (expand(q[:, 0]) << np.uint64(2)) | (expand(q[:, 1]) << np.uint64(1)) | expand(q[:, 2])
+
+
+def _karras_tree(codes: np.ndarray):
+    """Vectorized Karras 2012 binary radix tree over sorted unique codes.
+
+    codes: (C,) uint64, strictly increasing (uniqueness enforced by caller
+    via appended index bits). Returns (left, right) child arrays for the
+    C-1 internal nodes; child >= C-1 encodes leaf (child - (C-1)).
+    """
+    c = len(codes)
+    if c == 1:
+        return np.zeros((0,), np.int32), np.zeros((0,), np.int32)
+
+    codes = codes.astype(np.uint64)
+
+    def delta(i, j):
+        """Common-prefix length between codes[i] and codes[j]; -1 out of
+        range. i, j: int64 arrays."""
+        out = np.full(i.shape, -1, np.int64)
+        ok = (j >= 0) & (j < c)
+        x = codes[i[ok]] ^ codes[j[ok]]
+        # count leading zeros of 64-bit x (x != 0 guaranteed: codes unique)
+        lz = 63 - np.floor(np.log2(x.astype(np.float64) + 0.5)).astype(np.int64)
+        lz = np.where(x == 0, 64, lz)
+        res = np.full(i.shape, -1, np.int64)
+        res[ok] = lz
+        return res
+
+    i = np.arange(c - 1, dtype=np.int64)
+    d = np.sign(delta(i, i + 1) - delta(i, i - 1)).astype(np.int64)
+    d = np.where(d == 0, 1, d)
+
+    # upper bound on range length
+    delta_min = delta(i, i - d)
+    lmax = np.full(c - 1, 2, np.int64)
+    grow = np.ones(c - 1, bool)
+    while grow.any():
+        cand = i + lmax * d
+        grow = delta(i, cand) > delta_min
+        lmax = np.where(grow, lmax * 2, lmax)
+
+    # binary search exact other end
+    l = np.zeros(c - 1, np.int64)
+    t = lmax // 2
+    while (t >= 1).any():
+        cand = i + (l + t) * d
+        ok = delta(i, cand) > delta_min
+        l = np.where((t >= 1) & ok, l + t, l)
+        t = t // 2
+    j = i + l * d
+
+    # split search
+    delta_node = delta(i, j)
+    s = np.zeros(c - 1, np.int64)
+    t = np.int64(1)
+    # t iterates ceil(l / 2^k)
+    max_l = int(l.max()) if len(l) else 0
+    divs = []
+    dv = 2
+    while True:
+        divs.append(dv)
+        if dv >= max(max_l, 2):
+            break
+        dv *= 2
+    for dv in divs:
+        t = (l + dv - 1) // dv
+        cand = i + (s + t) * d
+        ok = delta(i, cand) > delta_node
+        s = np.where(ok, s + t, s)
+    gamma = i + s * d + np.minimum(d, 0)
+
+    left = np.where(np.minimum(i, j) == gamma, gamma + (c - 1), gamma).astype(np.int32)
+    right = np.where(np.maximum(i, j) == gamma + 1, gamma + 1 + (c - 1), gamma + 1).astype(np.int32)
+    return left, right
+
+
+def build(geometry, leaf_size: int = DEFAULT_LEAF_SIZE) -> LBVH:
+    """Host-side LBVH build from a Geometry (SURVEY.md §7 step 5)."""
+    pos = np.asarray(geometry.positions)
+    vidx = np.asarray(geometry.tri_vidx)
+    a, b, c3 = pos[vidx[:, 0]], pos[vidx[:, 1]], pos[vidx[:, 2]]
+    t = len(vidx)
+
+    centroid = (a + b + c3) / 3.0
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    codes = _morton3((centroid - lo) / extent)
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    num_leaves = (t + leaf_size - 1) // leaf_size
+    # leaf triangle table, padded with the last valid tri of each leaf
+    leaf_tri = np.zeros((num_leaves, leaf_size), np.int32)
+    for k in range(leaf_size):
+        idx = np.minimum(np.arange(num_leaves) * leaf_size + k, t - 1)
+        leaf_tri[:, k] = order[idx]
+
+    # unique leaf codes: representative code + leaf index in low bits
+    leaf_code = codes[order[np.minimum(np.arange(num_leaves) * leaf_size, t - 1)]]
+    leaf_code = (leaf_code.astype(np.uint64) << np.uint64(32)) | np.arange(
+        num_leaves, dtype=np.uint64
+    )
+    left, right = _karras_tree(leaf_code)
+
+    # bottom-up AABB refit (vectorized fixpoint over levels), unified
+    # [internal; leaf] id space
+    node_min, node_max = _refit_host(pos, vidx, leaf_tri, left, right)
+
+    return LBVH(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        node_left=jnp.asarray(left),
+        node_right=jnp.asarray(right),
+        node_is_leaf=jnp.zeros((max(num_leaves - 1, 0),), jnp.int32),
+        leaf_tri=jnp.asarray(leaf_tri),
+        tri_order=jnp.asarray(order),
+        leaf_size=leaf_size,
+        num_leaves=num_leaves,
+    )
+
+
+def _leaf_bounds(pos, vidx, leaf_tri):
+    tri = leaf_tri.reshape(-1)
+    corners = np.stack(
+        [pos[vidx[tri, 0]], pos[vidx[tri, 1]], pos[vidx[tri, 2]]], axis=1
+    )  # (C*L, 3corners, 3)
+    corners = corners.reshape(leaf_tri.shape[0], -1, 3)
+    return corners.min(axis=1), corners.max(axis=1)
+
+
+def _refit_host(pos, vidx, leaf_tri, left, right):
+    """Bottom-up AABB computation; returns UNIFIED (ni + C, 3) boxes where
+    rows [0, ni) are internal nodes and rows [ni, ni+C) are leaves."""
+    ni = len(left)
+    leaf_min, leaf_max = _leaf_bounds(pos, vidx, leaf_tri)
+    c = leaf_min.shape[0]
+    box_min = np.full((ni + c, 3), np.inf, np.float32)
+    box_max = np.full((ni + c, 3), -np.inf, np.float32)
+    box_min[ni:] = leaf_min
+    box_max[ni:] = leaf_max
+    known = np.zeros(ni + c, bool)
+    known[ni:] = True
+
+    for _ in range(ni + 1):
+        if known.all():
+            break
+        ready = known[left] & known[right] & ~known[:ni]
+        box_min[:ni][ready] = np.minimum(box_min[left[ready]], box_min[right[ready]])
+        box_max[:ni][ready] = np.maximum(box_max[left[ready]], box_max[right[ready]])
+        known[:ni] |= ready
+    assert known.all(), "BVH refit did not converge (cycle?)"
+    return box_min, box_max
+
+
+def refit(bvh: LBVH, geometry) -> LBVH:
+    """Re-fit AABBs for updated vertex positions (fixed topology) — the
+    fast path for the reference's ``mesh move`` (Scene.cpp:271-321 forces a
+    full rebuild; here topology-preserving edits just refit)."""
+    import dataclasses
+
+    pos = np.asarray(geometry.positions)
+    vidx = np.asarray(geometry.tri_vidx)
+    node_min, node_max = _refit_host(
+        pos, vidx, np.asarray(bvh.leaf_tri), np.asarray(bvh.node_left), np.asarray(bvh.node_right)
+    )
+    return dataclasses.replace(
+        bvh, node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max)
+    )

@@ -242,10 +242,16 @@ def _mirror_eval(surface: Surface, wi, wo):
 
 # ----------------------------------------------------------------- dispatch
 
-def _select(bsdf_type, results):
-    """Mask-select per-lane results keyed by BSDFType order."""
-    out = results[0]
-    for ty in range(1, NUM_BSDF_TYPES):
+ALL_TYPES = tuple(range(NUM_BSDF_TYPES))
+
+
+def _select(bsdf_type, results, present):
+    """Mask-select per-lane results from {type: value}, restricted to the
+    statically-known ``present`` types (scene.materials.types_present): the
+    wavefront only pays for lobes the scene actually uses."""
+    present = tuple(present)
+    out = results[present[0]]
+    for ty in present[1:]:
         r = results[ty]
         mask = bsdf_type == ty
         if r.ndim > mask.ndim:
@@ -254,32 +260,51 @@ def _select(bsdf_type, results):
     return out
 
 
-def sample(surface: Surface, e0, e1, e2, wo):
+def sample(surface: Surface, e0, e1, e2, wo, present=ALL_TYPES):
     """BSDF importance sample. Returns (wi, aux); aux carries the phong lobe
     pick (cf. TerraPresets.c:87-95) and is threaded into :func:`pdf`."""
-    wi_d = _cosine_hemisphere(surface, e0, e1)
-    wi_p, lobe = _phong_sample(surface, e0, e1, e2, wo)
-    wi_g, _ = _ggx_sample(surface, e0, e1, e2, wo)
-    wi_m = _mirror_sample(surface, wo)
-    wi = _select(surface.bsdf_type, [wi_d, wi_p, wi_g, wi_m])
-    aux = jnp.where(surface.bsdf_type == BSDFType.PHONG, lobe, 0.0)
+    results = {}
+    if BSDFType.DIFFUSE in present:
+        results[BSDFType.DIFFUSE] = _cosine_hemisphere(surface, e0, e1)
+    if BSDFType.PHONG in present:
+        wi_p, lobe = _phong_sample(surface, e0, e1, e2, wo)
+        results[BSDFType.PHONG] = wi_p
+    if BSDFType.GGX in present:
+        results[BSDFType.GGX] = _ggx_sample(surface, e0, e1, e2, wo)[0]
+    if BSDFType.MIRROR in present:
+        results[BSDFType.MIRROR] = _mirror_sample(surface, wo)
+    wi = _select(surface.bsdf_type, results, present)
+    if BSDFType.PHONG in present:
+        aux = jnp.where(surface.bsdf_type == BSDFType.PHONG, lobe, 0.0)
+    else:
+        aux = jnp.zeros(wi.shape[:-1], wi.dtype)
     return wi, aux
 
 
-def pdf(surface: Surface, wi, wo, aux):
+def pdf(surface: Surface, wi, wo, aux, present=ALL_TYPES):
     """BSDF pdf for direction wi; ``aux`` is the lobe pick from the current
     bounce's :func:`sample` (reference semantics, TerraPresets.c:108-123)."""
-    p_d = _diffuse_pdf(surface, wi)
-    p_p = _phong_pdf(surface, wi, wo, aux)
-    p_g = _ggx_pdf(surface, wi, wo)
-    p_m = _mirror_pdf(surface, wi, wo)
-    return _select(surface.bsdf_type, [p_d, p_p, p_g, p_m])
+    results = {}
+    if BSDFType.DIFFUSE in present:
+        results[BSDFType.DIFFUSE] = _diffuse_pdf(surface, wi)
+    if BSDFType.PHONG in present:
+        results[BSDFType.PHONG] = _phong_pdf(surface, wi, wo, aux)
+    if BSDFType.GGX in present:
+        results[BSDFType.GGX] = _ggx_pdf(surface, wi, wo)
+    if BSDFType.MIRROR in present:
+        results[BSDFType.MIRROR] = _mirror_pdf(surface, wi, wo)
+    return _select(surface.bsdf_type, results, present)
 
 
-def eval_f(surface: Surface, wi, wo):
+def eval_f(surface: Surface, wi, wo, present=ALL_TYPES):
     """BSDF value f(wi, wo) (N, 3)."""
-    f_d = _diffuse_eval(surface, wi, wo)
-    f_p = _phong_eval(surface, wi, wo)
-    f_g = _ggx_eval(surface, wi, wo)
-    f_m = _mirror_eval(surface, wi, wo)
-    return _select(surface.bsdf_type, [f_d, f_p, f_g, f_m])
+    results = {}
+    if BSDFType.DIFFUSE in present:
+        results[BSDFType.DIFFUSE] = _diffuse_eval(surface, wi, wo)
+    if BSDFType.PHONG in present:
+        results[BSDFType.PHONG] = _phong_eval(surface, wi, wo)
+    if BSDFType.GGX in present:
+        results[BSDFType.GGX] = _ggx_eval(surface, wi, wo)
+    if BSDFType.MIRROR in present:
+        results[BSDFType.MIRROR] = _mirror_eval(surface, wi, wo)
+    return _select(surface.bsdf_type, results, present)

@@ -74,16 +74,16 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     light_pdf = math3.sqlen(p_to_light) / jnp.maximum(
         jnp.abs(cos_l * ls.area), np.float32(1e-12)
     )
-    f = bsdf.eval_f(surf, wi, wo)
+    f = bsdf.eval_f(surf, wi, wo, ctx["present"])
     nol = math3.dot(wi, surf.normal)
 
     # Emissive at the light sample: evaluated on the shadow-ray hit surface
     # like the reference (light_surface.emissive, Terra.c:1419).
-    light_surf = surface_init(scene, o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
+    light_surf = surface_init(scene, ctx["tables"], o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
     Le = light_surf.emissive
 
     if want_weight:
-        bsdf_pdf = bsdf.pdf(surf, wi, wo, aux)
+        bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
         weight = (light_pdf * light_pdf) / jnp.maximum(
             light_pdf * light_pdf + bsdf_pdf * bsdf_pdf, np.float32(1e-20)
         )
@@ -111,30 +111,25 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
     e0 = rng(bounce, S.MIS_E0)
     e1 = rng(bounce, S.MIS_E1)
     e2 = rng(bounce, S.MIS_E2)
-    wi, aux = bsdf.sample(surf, e0, e1, e2, wo)
-    f = bsdf.eval_f(surf, wi, wo)
-    bsdf_pdf = bsdf.pdf(surf, wi, wo, aux)
+    wi, aux = bsdf.sample(surf, e0, e1, e2, wo, ctx["present"])
+    f = bsdf.eval_f(surf, wi, wo, ctx["present"])
+    bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
 
     o_sh, d_sh = _shadow_ray(surf, wi)
     hit = raycast(o_sh, d_sh)
-    hit_surf = surface_init(scene, o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
+    hit_surf = surface_init(scene, ctx["tables"], o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
 
     # Reference acceptance (Terra.c:1543): the hit object must be the light
     # object that NEE picked this bounce.
     geom = scene.geometry
-    same_object = geom.obj_id[hit.tri] == geom.obj_id[ls.tri_idx]
+    same_object = hit_surf.obj_id == geom.obj_id[ls.tri_idx]
     ok = hit.hit & same_object
 
     now = math3.dot(hit_surf.normal, -wi)  # cos at the light hit (Terra.c:1554)
     ok = ok & (now > 0.0)
 
     dist2 = math3.sqlen(hit_surf.point - surf.point)
-    hit_area = 0.5 * math3.length(
-        math3.cross(
-            geom.positions[geom.tri_vidx[hit.tri, 1]] - geom.positions[geom.tri_vidx[hit.tri, 0]],
-            geom.positions[geom.tri_vidx[hit.tri, 2]] - geom.positions[geom.tri_vidx[hit.tri, 0]],
-        )
-    )
+    hit_area = hit_surf.tri_area
     light_pdf = dist2 / jnp.maximum(now * hit_area, np.float32(1e-12))
     weight = (bsdf_pdf * bsdf_pdf) / jnp.maximum(
         light_pdf * light_pdf + bsdf_pdf * bsdf_pdf, np.float32(1e-20)
@@ -168,7 +163,7 @@ def _integrate_direct_mis(ctx, surf: Surface, wo, throughput, bounce):
     e0 = rng(bounce, S.MIS_E0)
     e1 = rng(bounce, S.MIS_E1)
     e2 = rng(bounce, S.MIS_E2)
-    _, aux = bsdf.sample(surf, e0, e1, e2, wo)
+    _, aux = bsdf.sample(surf, e0, e1, e2, wo, ctx["present"])
     light_c, _, ls = _nee_light_strategy(ctx, surf, wo, bounce, want_weight=True, aux=aux)
     bsdf_c, _ = _mis_bsdf_strategy(ctx, surf, wo, bounce, ls)
     return (Lo + light_c + bsdf_c) * throughput
@@ -215,7 +210,7 @@ def _integrate_debug_mis_weights(ctx, surf, wo, throughput, bounce):
     e0 = rng(bounce, S.MIS_E0)
     e1 = rng(bounce, S.MIS_E1)
     e2 = rng(bounce, S.MIS_E2)
-    _, aux = bsdf.sample(surf, e0, e1, e2, wo)
+    _, aux = bsdf.sample(surf, e0, e1, e2, wo, ctx["present"])
     _, w_light, ls = _nee_light_strategy(ctx, surf, wo, bounce, want_weight=True, aux=aux)
     _, w_bsdf = _mis_bsdf_strategy(ctx, surf, wo, bounce, ls)
     color = jnp.stack([w_bsdf, jnp.zeros_like(w_bsdf), w_light], axis=-1)

@@ -89,18 +89,21 @@ def moller_trumbore(o, d, a, b, c, eps: float = 1e-4):
 
 
 def _closest_hit_block(o, d, tri_a, tri_b, tri_c, base_idx):
-    """Dense (chunk, TB) test; returns per-ray (best_t, best_local_idx)."""
+    """Dense (chunk, TB) test; returns per-ray (best_t, best_local_idx).
+
+    Uses min + argmin (NOT take_along_axis, which costs ~20ms/M lanes as a
+    per-row gather on TPU)."""
     # rays: (chunk, 3) -> (chunk, 1, 3); tris: (TB, 3) -> (1, TB, 3)
     valid, t, _, _ = moller_trumbore(
         o[:, None, :], d[:, None, :], tri_a[None], tri_b[None], tri_c[None]
     )
     t = jnp.where(valid, t, T_FAR)
+    best_t = jnp.min(t, axis=1)
     best = jnp.argmin(t, axis=1)
-    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
     return best_t, base_idx + best.astype(jnp.int32)
 
 
-def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 8192, tri_block: int = 1024) -> RayHit:
+def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 0, tri_block: int = 1024) -> RayHit:
     """Closest-hit over all triangles, chunked to bound memory.
 
     o, d : (N, 3) rays (origins already offset by the caller)
@@ -110,11 +113,17 @@ def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 8192, tri_block: i
     blocks with a running (best_t, best_idx) carry — the TPU analogue of the
     reference's per-ray loop over BVH leaves (TerraBVH.c:250-310) when the
     scene is small enough that a dense sweep beats pointer chasing.
+
+    ``ray_chunk=0`` (default) sizes chunks so the transient (chunk x TB)
+    wavefront stays around 64M lanes-x-tris — big launches amortize; only
+    very large N x T needs the chunking at all.
     """
     n = o.shape[0]
     t_count = tri_a.shape[0]
-    ray_chunk = min(ray_chunk, max(n, 1))
     tri_block = min(tri_block, max(t_count, 1))
+    if ray_chunk <= 0:
+        ray_chunk = max(8192, (64 << 20) // max(tri_block, 1))
+    ray_chunk = min(ray_chunk, max(n, 1))
 
     # Pad rays to a chunk multiple, triangles to a block multiple.
     n_pad = -n % ray_chunk

@@ -134,6 +134,25 @@ def path_uniform2(key, pixel_idx, sample_idx, bounce, stream):
     return uniform_from_bits(b0), uniform_from_bits(b1)
 
 
+def path_uniform_bundle(key, pixel_idx, sample_idx, bounce, streams):
+    """All of a bounce's uniforms in ONE threefry launch.
+
+    ``streams``: static tuple of stream ids. Returns {stream: (N,) f32}.
+    Counters are stacked to (S, N) so the whole bundle is a single cipher
+    kernel instead of S separate launches (launch overhead dominates small
+    elementwise kernels on TPU).
+    """
+    pixel_idx = jnp.asarray(pixel_idx, jnp.uint32)
+    sample_idx = jnp.asarray(sample_idx, jnp.uint32)
+    ctrs = jnp.stack(
+        [_pack_counter(sample_idx, bounce, s) for s in streams], axis=0
+    )  # (S, N)
+    x0 = jnp.broadcast_to(pixel_idx[None, :], ctrs.shape)
+    b0, _ = threefry2x32(key[0], key[1], x0, ctrs)
+    u = uniform_from_bits(b0)
+    return {s: u[i] for i, s in enumerate(streams)}
+
+
 def radical_inverse(base: int, index, iters: int = 32):
     """Vectorized van der Corput radical inverse (terra_radical_inverse,
     Terra.c:734-748) for the Halton pixel sampler. ``index`` int32 array."""

@@ -97,14 +97,34 @@ def _pixel_jitter(opts: RenderOptions, key, pixel_idx, sample_idx):
     return rng_mod.path_uniform2(key, pixel_idx, sample_idx, 0, S.JITTER_X)
 
 
+# RNG streams each integrator draws per bounce (all fetched in ONE
+# threefry launch per bounce; see ops/rng.py path_uniform_bundle).
+_CONTINUATION_STREAMS = (S.BSDF_E0, S.BSDF_E1, S.BSDF_E2, S.ROULETTE)
+
+
+def _streams_for(integrator) -> tuple:
+    from .scene import Integrator as I
+
+    integ = I(integrator)
+    if integ == I.DIRECT:
+        extra = (S.LIGHT_PICK, S.LIGHT_U, S.LIGHT_V)
+    elif integ in (I.DIRECT_MIS, I.DEBUG_MIS_WEIGHTS):
+        extra = (S.MIS_E0, S.MIS_E1, S.MIS_E2, S.LIGHT_PICK, S.LIGHT_U, S.LIGHT_V)
+    else:
+        extra = ()
+    return _CONTINUATION_STREAMS + extra
+
+
 def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
     """Trace a wavefront of primary rays to radiance (terra_trace,
     Terra.c:1039-1097). Returns (N, 3) f32 radiance per lane."""
+    from .surface import build_shade_tables
+
     raycast = make_raycast_fn(scene, opts)
     integrator = make_integrator(opts.integrator)
-
-    def rng(bounce, stream):
-        return rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, stream)
+    tables = build_shade_tables(scene)
+    present = scene.materials.types_present
+    streams = _streams_for(opts.integrator)
 
     n = o.shape[0]
     init = dict(
@@ -119,9 +139,15 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         o, d = carry["o"], carry["d"]
         throughput, Lo, active = carry["throughput"], carry["Lo"], carry["active"]
 
+        # One threefry launch covers every stream this bounce will draw.
+        u = rng_mod.path_uniform_bundle(key, pixel_idx, sample_idx, bounce, streams)
+
+        def rng(_bounce, stream):
+            return u[stream]
+
         hit = raycast(o, d)
         o_off = o + d * intersect.RAY_OFFSET_DIR
-        surf = surface_init(scene, o_off, d, hit.tri)
+        surf = surface_init(scene, tables, o_off, d, hit.tri)
         wo = -d
 
         # Miss: reference multiplies throughput by the env color and ends
@@ -133,23 +159,26 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             Lo = Lo + jnp.where(miss_mask[..., None], throughput * env, 0.0)
         active = active & hit.hit
 
-        ctx = dict(scene=scene, rng=rng, raycast=raycast, ray_origin=o)
+        ctx = dict(
+            scene=scene, rng=rng, raycast=raycast, ray_origin=o,
+            tables=tables, present=present,
+        )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
 
         # Path continuation (Terra.c:1064-1093).
-        e0 = rng(bounce, S.BSDF_E0)
-        e1 = rng(bounce, S.BSDF_E1)
-        e2 = rng(bounce, S.BSDF_E2)
-        wi, aux = bsdf.sample(surf, e0, e1, e2, wo)
-        pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux), EPS)
-        f = bsdf.eval_f(surf, wi, wo)
+        e0 = u[S.BSDF_E0]
+        e1 = u[S.BSDF_E1]
+        e2 = u[S.BSDF_E2]
+        wi, aux = bsdf.sample(surf, e0, e1, e2, wo, present)
+        pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux, present), EPS)
+        f = bsdf.eval_f(surf, wi, wo, present)
         nol = math3.dot(surf.normal, wi)
         new_tp = throughput * f * (nol / pdf)[..., None]
 
         # Russian roulette (Terra.c:1081-1091), optionally deferred.
         p = math3.max3(new_tp)
-        e3 = rng(bounce, S.ROULETTE)
+        e3 = u[S.ROULETTE]
         rr_on = bounce >= opts.rr_start_bounce
         survive = jnp.where(rr_on, e3 <= p, True)
         new_tp = jnp.where(rr_on, new_tp / (p + EPS)[..., None], new_tp)

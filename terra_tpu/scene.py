@@ -176,7 +176,7 @@ class Geometry:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["bsdf_type", "attrs", "attr_tex", "emissive", "emissive_tex", "ior"],
-    meta_fields=[],
+    meta_fields=["types_present"],
 )
 @dataclass
 class MaterialTable:
@@ -188,6 +188,10 @@ class MaterialTable:
     emissive     : (M, 3) f32 — constant emissive
     emissive_tex : (M,) i32 — emissive texture id, -1 = constant
     ior          : (M,) f32
+    types_present: static tuple of the BSDFType ids that actually occur —
+                   pytree metadata, so jit specializes the wavefront BSDF
+                   dispatch to only the lobes the scene uses (set by
+                   ``commit``; defaults to all).
     """
 
     bsdf_type: jax.Array
@@ -196,6 +200,7 @@ class MaterialTable:
     emissive: jax.Array
     emissive_tex: jax.Array
     ior: jax.Array
+    types_present: tuple = (0, 1, 2, 3)
 
     @property
     def num_materials(self) -> int:
@@ -404,6 +409,9 @@ def commit(
         from .accel import lbvh
 
         bvh = lbvh.build(geometry)
+    # Record which BSDF lobes the scene uses (static dispatch specialization).
+    used = np.unique(np.asarray(materials.bsdf_type)[np.unique(np.asarray(geometry.mat_id))])
+    materials = dataclasses.replace(materials, types_present=tuple(int(t) for t in used))
     return Scene(
         geometry=geometry,
         materials=materials,

@@ -7,6 +7,14 @@ barycentrics, interpolated normal/uv, material attributes — is recomputed
 here *differentiably* from the vertex buffer, so gradients flow to vertex
 positions and material parameters without differentiating through the
 discrete hit choice (SURVEY.md §7 hard part (b)).
+
+TPU design note: per-lane chained gathers (positions[tri_vidx[tri,k]] x3,
+normals[tri], uvs[tri], attrs[mat[tri]]) cost ~100ms/M lanes on TPU. All
+per-triangle data is therefore packed into ONE (T, 25) "shade table" built
+per trace (T-sized, cheap, differentiable) and fetched per lane with a
+single row lookup: a one-hot matmul on the MXU for small scenes, a single
+wide gather for large ones. Material rows (always few) are fetched the same
+way from a packed (M, 29) table.
 """
 from __future__ import annotations
 
@@ -20,7 +28,69 @@ from . import textures
 from .ops import math3
 from .scene import Scene, MAX_ATTRS
 
-__all__ = ["Surface", "surface_init"]
+__all__ = ["Surface", "ShadeTables", "build_shade_tables", "surface_init"]
+
+# Max triangle count for the one-hot-matmul fetch path; larger tables use a
+# plain row gather.
+ONEHOT_MAX_ROWS = 512
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["tri", "mat"],
+    meta_fields=[],
+)
+@dataclass
+class ShadeTables:
+    """Packed per-triangle + per-material tables (built once per trace).
+
+    tri : (T, 26) f32 — va(0:3) vb(3:6) vc(6:9) n0(9:12) n1(12:15)
+          n2(15:18) uv0(18:20) uv1(20:22) uv2(22:24) mat_id(24) obj_id(25)
+    mat : (M, 29) f32 — bsdf_type(0) ior(1) emissive(2:5) attrs(5:29)
+    """
+
+    tri: jax.Array
+    mat: jax.Array
+
+
+def build_shade_tables(scene: Scene) -> ShadeTables:
+    geom = scene.geometry
+    va, vb, vc = geom.corners()
+    n = geom.normals  # (T, 3, 3)
+    uv = geom.uvs  # (T, 3, 2)
+    t = va.shape[0]
+    tri = jnp.concatenate(
+        [
+            va, vb, vc,
+            n[:, 0, :], n[:, 1, :], n[:, 2, :],
+            uv[:, 0, :], uv[:, 1, :], uv[:, 2, :],
+            geom.mat_id.astype(jnp.float32)[:, None],
+            geom.obj_id.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    mats = scene.materials
+    m = mats.num_materials
+    mat = jnp.concatenate(
+        [
+            mats.bsdf_type.astype(jnp.float32)[:, None],
+            mats.ior[:, None],
+            mats.emissive,
+            mats.attrs.reshape(m, MAX_ATTRS * 3),
+        ],
+        axis=1,
+    )
+    return ShadeTables(tri=tri, mat=mat)
+
+
+def fetch_rows(table, idx):
+    """Row lookup tuned for TPU: one-hot matmul (MXU) for small tables,
+    single wide gather otherwise. idx values must be in range."""
+    rows = table.shape[0]
+    if rows <= ONEHOT_MAX_ROWS:
+        oh = jax.nn.one_hot(idx, rows, dtype=table.dtype)
+        return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+    return table[idx]
 
 
 @partial(
@@ -37,6 +107,8 @@ __all__ = ["Surface", "surface_init"]
         "bsdf_type",
         "ior",
         "t",
+        "obj_id",
+        "tri_area",
     ],
     meta_fields=[],
 )
@@ -55,6 +127,8 @@ class Surface:
     bsdf_type: jax.Array  # (N,) i32
     ior: jax.Array  # (N,) f32
     t: jax.Array  # (N,) differentiable hit distance
+    obj_id: jax.Array  # (N,) i32 source object of the hit triangle
+    tri_area: jax.Array  # (N,) f32 area of the hit triangle
 
 
 def _eval_attribute(scene: Scene, const_val, tex_id, uv):
@@ -67,7 +141,7 @@ def _eval_attribute(scene: Scene, const_val, tex_id, uv):
     return jnp.where((tex_id >= 0)[..., None], tex_val, const_val)
 
 
-def surface_init(scene: Scene, o, d, tri_idx):
+def surface_init(scene: Scene, tables: ShadeTables, o, d, tri_idx):
     """Build the Surface for lanes with (possibly invalid) triangle ids.
 
     o, d : (N, 3) the ray that produced the hit (origins already offset)
@@ -78,10 +152,12 @@ def surface_init(scene: Scene, o, d, tri_idx):
     as the reference (Terra.c:1728-1739). Corner weights: w_b = uv.x,
     w_c = uv.y, w_a = 1 - uv.x - uv.y (Terra.c:1741-1752).
     """
-    geom = scene.geometry
-    va = geom.positions[geom.tri_vidx[tri_idx, 0]]
-    vb = geom.positions[geom.tri_vidx[tri_idx, 1]]
-    vc = geom.positions[geom.tri_vidx[tri_idx, 2]]
+    row = fetch_rows(tables.tri, tri_idx)  # (N, 26)
+    va, vb, vc = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+    uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+    mat_id = jnp.round(row[:, 24]).astype(jnp.int32)
+    obj_id = jnp.round(row[:, 25]).astype(jnp.int32)
 
     # Differentiable hit distance: t = ((a - o) . n_g) / (d . n_g)
     e0 = vb - va
@@ -106,33 +182,29 @@ def surface_init(scene: Scene, o, d, tri_idx):
     wc = (d00 * dp1 - d01 * dp0) * inv_div
     wa = 1.0 - wb - wc
 
-    n_corners = geom.normals[tri_idx]  # (N, 3corners, 3)
     normal = math3.normalize(
-        wa[..., None] * n_corners[..., 0, :]
-        + wb[..., None] * n_corners[..., 1, :]
-        + wc[..., None] * n_corners[..., 2, :]
+        wa[..., None] * n0 + wb[..., None] * n1 + wc[..., None] * n2
     )
-    uv_corners = geom.uvs[tri_idx]  # (N, 3corners, 2)
-    uv = (
-        wa[..., None] * uv_corners[..., 0, :]
-        + wb[..., None] * uv_corners[..., 1, :]
-        + wc[..., None] * uv_corners[..., 2, :]
-    )
+    uv = wa[..., None] * uv0 + wb[..., None] * uv1 + wc[..., None] * uv2
 
-    mat_id = geom.mat_id[tri_idx]
-    mats = scene.materials
-    # Attributes: 8 slots, constant or texture (Terra.c:1758-1760).
-    const_attrs = mats.attrs[mat_id]  # (N, 8, 3)
+    mrow = fetch_rows(tables.mat, mat_id)  # (N, 29)
+    bsdf_type = jnp.round(mrow[:, 0]).astype(jnp.int32)
+    ior = mrow[:, 1]
+    emissive_c = mrow[:, 2:5]
+    attrs = mrow[:, 5:].reshape(-1, MAX_ATTRS, 3)
+
+    # Texture-driven attributes override constants (Terra.c:1758-1762).
     if scene.textures.num_textures > 0:
+        mats = scene.materials
         slots = []
         for s in range(MAX_ATTRS):
             slots.append(
-                _eval_attribute(scene, const_attrs[:, s, :], mats.attr_tex[mat_id, s], uv)
+                _eval_attribute(scene, attrs[:, s, :], mats.attr_tex[mat_id, s], uv)
             )
         attrs = jnp.stack(slots, axis=-2)
+        emissive = _eval_attribute(scene, emissive_c, mats.emissive_tex[mat_id], uv)
     else:
-        attrs = const_attrs
-    emissive = _eval_attribute(scene, mats.emissive[mat_id], mats.emissive_tex[mat_id], uv)
+        emissive = emissive_c
 
     tangent, bitangent = math3.build_basis(normal)
     return Surface(
@@ -144,7 +216,9 @@ def surface_init(scene: Scene, o, d, tri_idx):
         attrs=attrs,
         emissive=emissive,
         mat_id=mat_id,
-        bsdf_type=mats.bsdf_type[mat_id],
-        ior=mats.ior[mat_id],
+        bsdf_type=bsdf_type,
+        ior=ior,
         t=t,
+        obj_id=obj_id,
+        tri_area=0.5 * math3.length(ng),
     )
