@@ -30,7 +30,7 @@ import numpy as np
 
 __all__ = ["LBVH", "build", "refit", "DEFAULT_LEAF_SIZE"]
 
-DEFAULT_LEAF_SIZE = 8
+DEFAULT_LEAF_SIZE = 16
 
 
 @partial(
@@ -43,6 +43,8 @@ DEFAULT_LEAF_SIZE = 8
         "node_is_leaf",
         "leaf_tri",
         "tri_order",
+        "dfs_next",
+        "dfs_skip",
     ],
     meta_fields=["leaf_size", "num_leaves"],
 )
@@ -70,6 +72,8 @@ class LBVH:
     node_is_leaf: jax.Array
     leaf_tri: jax.Array
     tri_order: jax.Array
+    dfs_next: jax.Array  # (ni+C,) preorder successor (stackless threading)
+    dfs_skip: jax.Array  # (ni+C,) preorder successor skipping the subtree
     leaf_size: int
     num_leaves: int
 
@@ -167,9 +171,32 @@ def _karras_tree(codes: np.ndarray):
 
 
 def build(geometry, leaf_size: int = DEFAULT_LEAF_SIZE) -> LBVH:
-    """Host-side LBVH build from a Geometry (SURVEY.md §7 step 5)."""
+    """Host-side LBVH build from a Geometry (SURVEY.md §7 step 5).
+
+    Uses the native C++ builder (terra_tpu.native) when available — the
+    scene-build hot path stays native like the reference's (TerraBVH.c) —
+    with a vectorized NumPy fallback."""
     pos = np.asarray(geometry.positions)
     vidx = np.asarray(geometry.tri_vidx)
+
+    from .. import native
+
+    nat = native.lbvh_build(pos, vidx, leaf_size)
+    if nat is not None:
+        c = nat["num_leaves"]
+        return LBVH(
+            node_min=jnp.asarray(nat["box_min"]),
+            node_max=jnp.asarray(nat["box_max"]),
+            node_left=jnp.asarray(nat["left"]),
+            node_right=jnp.asarray(nat["right"]),
+            node_is_leaf=jnp.zeros((max(c - 1, 0),), jnp.int32),
+            leaf_tri=jnp.asarray(nat["leaf_tri"]),
+            tri_order=jnp.asarray(nat["tri_order"]),
+            dfs_next=jnp.asarray(nat["dfs_next"]),
+            dfs_skip=jnp.asarray(nat["dfs_skip"]),
+            leaf_size=leaf_size,
+            num_leaves=c,
+        )
     a, b, c3 = pos[vidx[:, 0]], pos[vidx[:, 1]], pos[vidx[:, 2]]
     t = len(vidx)
 
@@ -197,6 +224,7 @@ def build(geometry, leaf_size: int = DEFAULT_LEAF_SIZE) -> LBVH:
     # bottom-up AABB refit (vectorized fixpoint over levels), unified
     # [internal; leaf] id space
     node_min, node_max = _refit_host(pos, vidx, leaf_tri, left, right)
+    dfs_next, dfs_skip = _thread_tree(left, right, num_leaves)
 
     return LBVH(
         node_min=jnp.asarray(node_min),
@@ -206,9 +234,45 @@ def build(geometry, leaf_size: int = DEFAULT_LEAF_SIZE) -> LBVH:
         node_is_leaf=jnp.zeros((max(num_leaves - 1, 0),), jnp.int32),
         leaf_tri=jnp.asarray(leaf_tri),
         tri_order=jnp.asarray(order),
+        dfs_next=jnp.asarray(dfs_next),
+        dfs_skip=jnp.asarray(dfs_skip),
         leaf_size=leaf_size,
         num_leaves=num_leaves,
     )
+
+
+def _thread_tree(left, right, num_leaves):
+    """Preorder threading for stackless traversal: for each node (unified id
+    space: [0, ni) internal, [ni, ni+C) leaves) compute
+
+      dfs_next[n] — the preorder successor when *descending* into n
+                    (its left child for internals; == dfs_skip for leaves),
+      dfs_skip[n] — the node that follows n's entire subtree (-1 at end).
+
+    Traversal is then a pure pointer walk: hit -> dfs_next, miss ->
+    dfs_skip. This is the 'stackless rope' scheme SURVEY.md §7 calls for —
+    per-packet state is ONE integer, no stack scatters.
+    """
+    ni = len(left)
+    total = ni + num_leaves
+    dfs_next = np.full(total, -1, np.int64)
+    dfs_skip = np.full(total, -1, np.int64)
+    if ni == 0:
+        return dfs_next.astype(np.int32), dfs_skip.astype(np.int32)
+
+    # iterative preorder with explicit (node, continuation) stack
+    stack = [(0, -1)]
+    while stack:
+        node, cont = stack.pop()
+        dfs_skip[node] = cont
+        if node < ni:
+            l, r = int(left[node]), int(right[node])
+            dfs_next[node] = l
+            stack.append((r, cont))
+            stack.append((l, r))
+        else:
+            dfs_next[node] = cont
+    return dfs_next.astype(np.int32), dfs_skip.astype(np.int32)
 
 
 def _leaf_bounds(pos, vidx, leaf_tri):

@@ -1,26 +1,28 @@
-"""Packet BVH traversal: vectorized closest-hit over the LBVH.
+"""Stackless packet BVH traversal: skip-link walk, vectorized closest hit.
 
 TPU re-design of terra_bvh_traverse (/root/reference/src/TerraBVH.c:250-310).
 The reference walks a per-ray explicit stack — per-lane pointer chasing that
-a SIMD machine cannot vectorize. Here rays are grouped into *packets* that
-share one traversal stack (classic coherent packet tracing, mapped to the
-VPU):
+a SIMD machine cannot vectorize. Here:
 
-  * per-iteration work is packet-granular: popping node ids, fetching node
-    AABBs and leaf triangle rows are all gathers of ~num_packets rows
-    (thousands, not millions — cheap on TPU),
-  * the expensive lanes-wide work (ray/AABB tests, Moller-Trumbore leaf
-    tests) is dense and fixed-shape: (packets, rays_per_packet, ...) with
-    masking,
-  * a packet prunes a subtree when no member ray can hit it closer than its
-    current best (any-reduction over the packet),
-  * the whole loop is one ``lax.while_loop`` — one compiled program, no
-    host round trips.
+  * the tree is *threaded* at build time (lbvh._thread_tree): every node
+    carries its preorder successor (``dfs_next``) and its skip-subtree
+    successor (``dfs_skip``), so traversal state per packet is ONE node id —
+    no stack, no scatters (the north star's "stackless" scheme);
+  * rays are grouped into packets sharing that single cursor (classic
+    coherent packet tracing): hit-any-ray -> descend (dfs_next), miss or
+    pruned -> skip (dfs_skip);
+  * the walk alternates two phases inside one ``lax.while_loop``:
+      advance — cheap packet-granular AABB steps until every live packet
+                rests on a leaf whose box some ray hits,
+      leaf    — one dense fixed-shape Moller-Trumbore batch
+                (packets x rays x leaf_size) that is useful for every
+                packet simultaneously;
+  * a packet prunes a subtree when no member ray can beat its current best
+    t inside the subtree's box (any-reduction over the packet).
 
-Packet dilation (rays paying for leaves only siblings need) is the cost of
-coherence; primary rays are pixel-coherent by construction and secondary
-rays still amortize node fetches. The Pallas short-stack per-core variant is
-the planned v2 for incoherent workloads.
+All per-iteration memory traffic is packet-granular gathers (thousands of
+rows); the lane-wide math is dense and fusable. Packet dilation is the cost
+of coherence; primary rays are pixel-coherent by construction.
 """
 from __future__ import annotations
 
@@ -28,105 +30,140 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..intersect import RayHit, T_FAR, moller_trumbore
+from ..intersect import RayHit, T_FAR, mt_grid_components
 from ..ops import math3
 
-__all__ = ["raycast", "PACKET_SIZE", "STACK_DEPTH"]
+__all__ = ["raycast", "PACKET_SIZE"]
 
 PACKET_SIZE = 64
-STACK_DEPTH = 96
+ADVANCE_UNROLL = 8  # skip-link steps per advance iteration
 
 
-def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d):
+def _sort_keys(o, d, scene_min, scene_max):
+    """Coherence keys: direction octant (3 high bits) + 7-bit-per-axis
+    Morton code of the origin. Sorting rays by this key before packetizing
+    collapses packet dilation for incoherent (bounce) rays."""
+    inv_ext = 1.0 / jnp.maximum(scene_max - scene_min, 1e-12)
+    q = jnp.clip(((o - scene_min) * inv_ext * 127.0), 0.0, 127.0).astype(jnp.uint32)
+
+    def spread(v):  # 10-bit Morton spread (values here are 7-bit)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    morton = (
+        (spread(q[..., 0]) << jnp.uint32(2))
+        | (spread(q[..., 1]) << jnp.uint32(1))
+        | spread(q[..., 2])
+    ) & jnp.uint32(0x1FFFFF)  # 7 bits/axis interleaved = 21 bits
+    octant = (
+        (d[..., 0] > 0).astype(jnp.uint32)
+        | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
+        | ((d[..., 2] > 0).astype(jnp.uint32) << 2)
+    )
+    return (octant << jnp.uint32(21)) | morton
+
+
+def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096):
     """o, d: (P2, P, 3). Returns (best_t, best_tri) of shape (P2, P)."""
     p2, p, _ = o.shape
     ni = bvh.num_internal
     leaf_size = bvh.leaf_size
     inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.float32(1e12))
 
-    # flattened leaf corner tables for fast leaf fetch: (C*L, 3)
+    # flattened leaf corner tables: (C, L, 3)
     leaf_tri_flat = bvh.leaf_tri.reshape(-1)
     la = tri_a[leaf_tri_flat].reshape(bvh.num_leaves, leaf_size, 3)
     lb = tri_b[leaf_tri_flat].reshape(bvh.num_leaves, leaf_size, 3)
     lc = tri_c[leaf_tri_flat].reshape(bvh.num_leaves, leaf_size, 3)
 
-    def aabb_any_hit(box_min, box_max, best_t):
-        """box_*: (P2, 3); rays (P2, P, 3) -> per-packet any-hit (P2,)."""
-        t1 = (box_min[:, None, :] - o) * inv_d
-        t2 = (box_max[:, None, :] - o) * inv_d
+    END = jnp.int32(-1)
+
+    def box_any_hit(cur, best_t):
+        """Does any packet ray hit cur's AABB closer than its best?"""
+        safe = jnp.maximum(cur, 0)
+        bmin = bvh.node_min[safe]
+        bmax = bvh.node_max[safe]
+        t1 = (bmin[:, None, :] - o) * inv_d
+        t2 = (bmax[:, None, :] - o) * inv_d
         tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
         tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
         hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t)
         return jnp.any(hit, axis=1)
 
+    def advance_step(cur, best_t):
+        """One skip-link step: internals descend/skip by box test; leaves
+        with a box hit STAY (ready for the leaf phase); missed leaves skip."""
+        live = cur >= 0
+        hit = box_any_hit(cur, best_t) & live
+        is_leaf = (cur >= ni) & live
+        ready = is_leaf & hit
+        nxt = jnp.where(hit, bvh.dfs_next[jnp.maximum(cur, 0)], bvh.dfs_skip[jnp.maximum(cur, 0)])
+        return jnp.where(live & ~ready, nxt, cur)
+
     def body(state):
-        stack, sp, best_t, best_i = state
-        alive = sp > 0
-        sp1 = jnp.maximum(sp - 1, 0)
-        top = stack[jnp.arange(p2), sp1]
-        top = jnp.where(alive, top, 0)
-        is_leaf_node = (top >= ni) & alive
-        is_internal = (~(top >= ni)) & alive
-        sp = sp1  # popped
-
-        # ---- internal: test children AABBs, push hits
-        safe_top = jnp.minimum(top, jnp.maximum(ni - 1, 0))
-        lch = bvh.node_left[safe_top]
-        rch = bvh.node_right[safe_top]
-        lhit = aabb_any_hit(bvh.node_min[lch], bvh.node_max[lch], best_t) & is_internal
-        rhit = aabb_any_hit(bvh.node_min[rch], bvh.node_max[rch], best_t) & is_internal
-        # push right first, then left (left processed first)
-        rows = jnp.arange(p2)
-        stack = stack.at[rows, jnp.minimum(sp, STACK_DEPTH - 1)].set(
-            jnp.where(rhit, rch, stack[rows, jnp.minimum(sp, STACK_DEPTH - 1)])
-        )
-        sp = sp + rhit.astype(jnp.int32)
-        stack = stack.at[rows, jnp.minimum(sp, STACK_DEPTH - 1)].set(
-            jnp.where(lhit, lch, stack[rows, jnp.minimum(sp, STACK_DEPTH - 1)])
-        )
-        sp = sp + lhit.astype(jnp.int32)
-
-        # ---- leaf: test the packet's rays against the leaf triangles
-        leaf_id = jnp.where(is_leaf_node, top - ni, 0)
-        a = la[leaf_id]  # (P2, L, 3)
+        cur, best_t, best_i = state
+        # --- advance: a few cheap steps toward the next hit leaf
+        for _ in range(ADVANCE_UNROLL):
+            cur = advance_step(cur, best_t)
+        # --- leaf: dense MT for packets resting on a hit leaf
+        at_leaf = cur >= ni
+        leaf_id = jnp.where(at_leaf, cur - ni, 0)
+        a = la[leaf_id]
         b = lb[leaf_id]
         c = lc[leaf_id]
-        valid, t, _, _ = moller_trumbore(
-            o[:, :, None, :], d[:, :, None, :], a[:, None], b[:, None], c[:, None]
-        )  # (P2, P, L)
-        t = jnp.where(valid & is_leaf_node[:, None, None], t, T_FAR)
+        valid, t = mt_grid_components(o, d, a, b, c)  # (P2, P, L)
+        t = jnp.where(valid & at_leaf[:, None, None], t, T_FAR)
         t_best_l = jnp.min(t, axis=2)
         arg_l = jnp.argmin(t, axis=2)
-        tri_l = bvh.leaf_tri[leaf_id[:, None], arg_l]  # (P2, P) gather (small)
+        tri_l = bvh.leaf_tri[leaf_id[:, None], arg_l]
         take = t_best_l < best_t
         best_t = jnp.where(take, t_best_l, best_t)
         best_i = jnp.where(take, tri_l, best_i)
-        return stack, sp, best_t, best_i
+        # move past the processed leaf
+        cur = jnp.where(at_leaf, bvh.dfs_skip[jnp.maximum(cur, 0)], cur)
+        return cur, best_t, best_i
 
     def cond(state):
-        _, sp, _, _ = state
-        return jnp.any(sp > 0)
+        cur, _, _ = state
+        return jnp.any(cur >= 0)
 
-    stack0 = jnp.zeros((p2, STACK_DEPTH), jnp.int32)
-    if ni > 0:
-        sp0 = jnp.ones((p2,), jnp.int32)  # root = internal node 0
-    else:
-        # single-leaf tree: root IS the leaf (id ni + 0 == 0)
-        stack0 = stack0.at[:, 0].set(ni)
-        sp0 = jnp.ones((p2,), jnp.int32)
+    cur0 = jnp.zeros((p2,), jnp.int32) if ni > 0 else jnp.full((p2,), ni, jnp.int32)
     best_t0 = jnp.full((p2, p), T_FAR, jnp.float32)
     best_i0 = jnp.zeros((p2, p), jnp.int32)
-    _, _, best_t, best_i = jax.lax.while_loop(
-        cond, body, (stack0, sp0, best_t0, best_i0)
-    )
+    if ni == 0:
+        # single leaf: test it directly
+        valid, t = mt_grid_components(o, d, la[0][None], lb[0][None], lc[0][None])
+        t = jnp.where(valid, t, T_FAR)
+        best_t0 = jnp.min(t, axis=2)
+        best_i0 = bvh.leaf_tri[0][jnp.argmin(t, axis=2)]
+        return best_t0, best_i0
+    cur, best_t, best_i = jax.lax.while_loop(cond, body, (cur0, best_t0, best_i0))
     return best_t, best_i
 
 
-def raycast(scene, o, d, packet_size: int = PACKET_SIZE) -> RayHit:
-    """Closest-hit via LBVH packet traversal. o, d: (N, 3)."""
+def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True) -> RayHit:
+    """Closest-hit via stackless LBVH packet traversal. o, d: (N, 3).
+
+    ``sort_rays`` reorders lanes by (direction octant, origin Morton) before
+    packetizing so incoherent bounce rays form tight packets, then restores
+    the original order. Primary rays are already pixel-coherent, but the
+    sort is cheap relative to traversal and never hurts.
+    """
     bvh = scene.bvh
     tri_a, tri_b, tri_c = scene.geometry.corners()
     n = o.shape[0]
+
+    order = None
+    if sort_rays and n > packet_size:
+        root = 0 if bvh.num_internal > 0 else bvh.num_internal
+        keys = _sort_keys(o, d, bvh.node_min[root], bvh.node_max[root])
+        order = jnp.argsort(keys)
+        o = o[order]
+        d = d[order]
+
     pad = -n % packet_size
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
@@ -140,6 +177,10 @@ def raycast(scene, o, d, packet_size: int = PACKET_SIZE) -> RayHit:
     )
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=order.dtype))
+        best_t = best_t[inv]
+        best_i = best_i[inv]
     hit = best_t < T_FAR
     return RayHit(
         t=jax.lax.stop_gradient(best_t),

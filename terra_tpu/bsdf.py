@@ -31,7 +31,7 @@ from .surface import Surface
 
 __all__ = ["sample", "pdf", "eval_f", "NUM_BSDF_TYPES"]
 
-NUM_BSDF_TYPES = 4
+NUM_BSDF_TYPES = 5
 PI = np.float32(np.pi)
 INV_PI = np.float32(1.0 / np.pi)
 EPS = np.float32(1e-4)
@@ -215,6 +215,116 @@ def _ggx_eval(surface: Surface, wi, wo):
     return spec + diff
 
 
+# ------------------------------------------------------------------- disney
+
+def _disney_params(surface: Surface):
+    """Attribute slot layout matches the reference comment block
+    (TerraPresets.c:217-224): base_color; [specular, specular_tint];
+    [sheen, sheen_tint]; [clearcoat, clearcoat_gloss];
+    [metalness, roughness]; [anisotropic, subsurface]."""
+    a = surface.attrs
+    base_color = a[..., 0, :]
+    specular, specular_tint = a[..., 1, 0], a[..., 1, 1]
+    sheen, sheen_tint = a[..., 2, 0], a[..., 2, 1]
+    clearcoat, clearcoat_gloss = a[..., 3, 0], a[..., 3, 1]
+    metalness, roughness = a[..., 4, 0], a[..., 4, 1]
+    anisotropic, subsurface = a[..., 5, 0], a[..., 5, 1]
+    return (base_color, specular, specular_tint, sheen, sheen_tint,
+            clearcoat, clearcoat_gloss, metalness, roughness, anisotropic, subsurface)
+
+
+def _gtr1(ndoth, a):
+    """TerraPresets.c:201-209. For a < 1 both (a2-1) and log(a2) are
+    negative; compute with positive factors so the epsilon guard cannot
+    flip the sign."""
+    a2 = jnp.maximum(a * a, 1e-6)
+    t = jnp.maximum(1.0 + (a2 - 1.0) * ndoth * ndoth, 1e-8)
+    iso = jnp.full_like(ndoth, INV_PI)
+    val = (1.0 - a2) / jnp.maximum(PI * (-jnp.log(a2)) * t, 1e-8)
+    return jnp.where(a >= 1.0, iso, val)
+
+
+def _gtr2_aniso(ndoth, hdx, hdy, ax, ay):
+    """TerraPresets.c:182-187."""
+    x = hdx / ax
+    y = hdy / ay
+    s = x * x + y * y + ndoth * ndoth
+    return 1.0 / jnp.maximum(PI * ax * ay * s * s, 1e-8)
+
+
+def _smith_ggx_aniso(ndotv, vdx, vdy, ax, ay):
+    """TerraPresets.c:189-193."""
+    x = vdx * ax
+    y = vdy * ay
+    return 1.0 / jnp.maximum(ndotv + jnp.sqrt(x * x + y * y + ndotv * ndotv), 1e-8)
+
+
+def _smith_ggx(ndotv, alpha_g):
+    """TerraPresets.c:195-199."""
+    a = alpha_g * alpha_g
+    b = ndotv * ndotv
+    return 1.0 / jnp.maximum(ndotv + jnp.sqrt(a + b - a * b), 1e-8)
+
+
+def _disney_eval(surface: Surface, wi, wo):
+    """Full Disney principled eval (terra_bsdf_disney_eval,
+    TerraPresets.c:226-296). The reference stubs every parameter to 0
+    (TerraPresets.c:246-287, '// =') and ships no sample/pdf; here the
+    parameters come from the attribute slots so the lobe actually works."""
+    (base_color, specular, specular_tint, sheen_p, sheen_tint, clearcoat,
+     clearcoat_gloss, metalness, roughness, anisotropic, subsurface) = _disney_params(surface)
+    n = surface.normal
+    ndotl = math3.dot(n, wi)
+    ndotv = math3.dot(n, wo)
+    behind = (ndotl < 0.0) | (ndotv < 0.0)
+    ndotl = jnp.maximum(ndotl, 1e-6)
+    ndotv = jnp.maximum(ndotv, 1e-6)
+    h = math3.normalize(wi + wo)
+    ndoth = math3.dot(n, h)
+    ldoth = math3.dot(wi, h)
+    # tint from luminance (TerraPresets.c:240-244)
+    lum = 0.3 * base_color[..., 0] + 0.6 * base_color[..., 1] + 1.0 * base_color[..., 2]
+    tint = jnp.where(
+        (lum > 0.0)[..., None], base_color / jnp.maximum(lum, 1e-8)[..., None], 1.0
+    )
+    spec0 = math3.lerp(jnp.ones_like(base_color), tint, specular_tint[..., None])
+    spec0 = spec0 * (specular * 0.8)[..., None]
+    spec0 = math3.lerp(spec0, base_color, metalness[..., None])
+    sheen_c = math3.lerp(jnp.ones_like(base_color), tint, sheen_tint[..., None])
+    # diffuse fresnel (TerraPresets.c:256-260)
+    fl = _schlick_weight(ndotl)
+    fv = _schlick_weight(ndotv)
+    fd90 = 0.5 + 2.0 * ldoth * ldoth * roughness
+    fd = math3.lerp(1.0, fd90, fl) * math3.lerp(1.0, fd90, fv)
+    # subsurface (TerraPresets.c:262-264)
+    fss90 = ldoth * ldoth * roughness
+    fss = math3.lerp(1.0, fss90, fl) * math3.lerp(1.0, fss90, fv)
+    ss = 1.25 * (fss * (1.0 / (ndotl * ndotv) - 0.5) + 0.5)
+    # anisotropic specular (TerraPresets.c:266-276)
+    aspect = jnp.sqrt(jnp.maximum(1.0 - anisotropic * 0.9, 1e-4))
+    ax = jnp.maximum(1e-3, roughness * roughness / aspect)
+    ay = jnp.maximum(1e-3, roughness * roughness * aspect)
+    X = surface.tangent
+    Y = surface.bitangent
+    ds = _gtr2_aniso(ndoth, math3.dot(h, X), math3.dot(h, Y), ax, ay)
+    fh = _schlick_weight(ldoth)
+    fs = math3.lerp(spec0, jnp.ones_like(spec0), fh[..., None])
+    gs = _smith_ggx_aniso(ndotl, math3.dot(wi, X), math3.dot(wi, Y), ax, ay)
+    gs = gs * _smith_ggx_aniso(ndotv, math3.dot(wo, X), math3.dot(wo, Y), ax, ay)
+    sheen = sheen_c * (fh * sheen_p)[..., None]
+    # clearcoat (TerraPresets.c:281-284)
+    dr = _gtr1(ndoth, math3.lerp(0.1, 0.001, clearcoat_gloss))
+    fr = math3.lerp(0.04, 1.0, fh)
+    gr = _smith_ggx(ndotl, 0.25) * _smith_ggx(ndotv, 0.25)
+    # combine (TerraPresets.c:286-295)
+    result_a = base_color * (INV_PI * math3.lerp(fd, ss, subsurface))[..., None]
+    result_a = (result_a + sheen) * (1.0 - metalness)[..., None]
+    result_b = fs * (gs * ds)[..., None]
+    result_c = (0.25 * clearcoat * gr * fr * dr)[..., None] * jnp.ones_like(result_b)
+    result = result_a + result_b + result_c
+    return jnp.where(behind[..., None], 0.0, result)
+
+
 # ------------------------------------------------------------------- mirror
 
 def _mirror_sample(surface: Surface, wo):
@@ -273,6 +383,8 @@ def sample(surface: Surface, e0, e1, e2, wo, present=ALL_TYPES):
         results[BSDFType.GGX] = _ggx_sample(surface, e0, e1, e2, wo)[0]
     if BSDFType.MIRROR in present:
         results[BSDFType.MIRROR] = _mirror_sample(surface, wo)
+    if BSDFType.DISNEY in present:
+        results[BSDFType.DISNEY] = _cosine_hemisphere(surface, e0, e1)
     wi = _select(surface.bsdf_type, results, present)
     if BSDFType.PHONG in present:
         aux = jnp.where(surface.bsdf_type == BSDFType.PHONG, lobe, 0.0)
@@ -293,6 +405,8 @@ def pdf(surface: Surface, wi, wo, aux, present=ALL_TYPES):
         results[BSDFType.GGX] = _ggx_pdf(surface, wi, wo)
     if BSDFType.MIRROR in present:
         results[BSDFType.MIRROR] = _mirror_pdf(surface, wi, wo)
+    if BSDFType.DISNEY in present:
+        results[BSDFType.DISNEY] = _diffuse_pdf(surface, wi)
     return _select(surface.bsdf_type, results, present)
 
 
@@ -307,4 +421,6 @@ def eval_f(surface: Surface, wi, wo, present=ALL_TYPES):
         results[BSDFType.GGX] = _ggx_eval(surface, wi, wo)
     if BSDFType.MIRROR in present:
         results[BSDFType.MIRROR] = _mirror_eval(surface, wi, wo)
+    if BSDFType.DISNEY in present:
+        results[BSDFType.DISNEY] = _disney_eval(surface, wi, wo)
     return _select(surface.bsdf_type, results, present)

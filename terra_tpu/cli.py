@@ -211,6 +211,21 @@ def cmd_console(args) -> int:
                 cfg.set("width", rest[0])
                 cfg.set("height", rest[1])
                 film = None
+            elif cmd == "mesh":
+                from . import edit
+
+                s, _ = ensure_scene()
+                sub = rest[0] if rest else "list"
+                if sub == "list":
+                    for obj in edit.list_objects(s):
+                        print(f"  object {obj['object_id']:4d}: {obj['triangles']} tris "
+                              f"bbox {obj['bbox_min']} .. {obj['bbox_max']}")
+                elif sub == "move":
+                    oid = int(rest[1])
+                    delta = tuple(float(x) for x in rest[2:5])
+                    scene = edit.move_object(s, oid, delta)
+                    film = None
+                    print(f"moved object {oid} by {delta}")
             elif cmd == "stats":
                 print(profiler.report() or "(no samples)")
             elif cmd == "clear":

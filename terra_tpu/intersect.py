@@ -88,15 +88,66 @@ def moller_trumbore(o, d, a, b, c, eps: float = 1e-4):
     return valid, t, u, v
 
 
+def mt_components(oc, dc, ac, bc, cc, eps: float = 1e-4):
+    """Component-wise Moller-Trumbore core: each argument is an (x, y, z)
+    tuple of mutually broadcastable arrays. Returns (valid, t) broadcast.
+
+    Written with scalar component arrays (no jnp.stack/cross) so XLA fuses
+    the whole chain into the consuming reduction — ~2.5x faster than the
+    stacked (..., 3) formulation on TPU.
+    """
+    ox, oy, oz = oc
+    dx, dy, dz = dc
+    ax, ay, az = ac
+    bx, by, bz = bc
+    cx, cy, cz = cc
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
+    inv = 1.0 / jnp.where(jnp.abs(det) > eps, det, 1.0)
+    sx, sy, sz = ox - ax, oy - ay, oz - az
+    u = inv * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = inv * (dx * qx + dy * qy + dz * qz)
+    t = inv * (e2x * qx + e2y * qy + e2z * qz)
+    valid = (
+        (jnp.abs(det) > eps)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > eps)
+    )
+    return valid, t
+
+
+def _comps(v, ray_axis: bool):
+    """Split (..., 3) into broadcastable component tuples: rays get a
+    trailing singleton tris-axis, triangles a leading singleton rays-axis."""
+    if ray_axis:
+        return (v[..., :, None, 0], v[..., :, None, 1], v[..., :, None, 2])
+    return (v[..., None, :, 0], v[..., None, :, 1], v[..., None, :, 2])
+
+
+def mt_grid_components(o, d, tri_a, tri_b, tri_c, eps: float = 1e-4):
+    """Dense (rays x tris) MT grid: o, d (..., N, 3) vs tri_* (..., TB, 3)
+    -> (valid, t) of shape (..., N, TB)."""
+    return mt_components(
+        _comps(o, True), _comps(d, True),
+        _comps(tri_a, False), _comps(tri_b, False), _comps(tri_c, False),
+        eps,
+    )
+
+
 def _closest_hit_block(o, d, tri_a, tri_b, tri_c, base_idx):
     """Dense (chunk, TB) test; returns per-ray (best_t, best_local_idx).
 
     Uses min + argmin (NOT take_along_axis, which costs ~20ms/M lanes as a
     per-row gather on TPU)."""
-    # rays: (chunk, 3) -> (chunk, 1, 3); tris: (TB, 3) -> (1, TB, 3)
-    valid, t, _, _ = moller_trumbore(
-        o[:, None, :], d[:, None, :], tri_a[None], tri_b[None], tri_c[None]
-    )
+    valid, t = mt_grid_components(o, d, tri_a, tri_b, tri_c)
     t = jnp.where(valid, t, T_FAR)
     best_t = jnp.min(t, axis=1)
     best = jnp.argmin(t, axis=1)

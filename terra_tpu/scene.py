@@ -65,6 +65,7 @@ class BSDFType(enum.IntEnum):
     PHONG = 1
     GGX = 2
     MIRROR = 3
+    DISNEY = 4
 
 
 class ATTR:
@@ -83,6 +84,13 @@ class ATTR:
     GGX_SPECULAR = 3
     # mirror
     MIRROR_COLOR = 0
+    # disney (slot layout follows TerraPresets.c:217-224)
+    DISNEY_BASE_COLOR = 0
+    DISNEY_SPECULAR = 1      # [specular, specular_tint, -]
+    DISNEY_SHEEN = 2         # [sheen, sheen_tint, -]
+    DISNEY_CLEARCOAT = 3     # [clearcoat, clearcoat_gloss, -]
+    DISNEY_METAL_ROUGH = 4   # [metalness, roughness, -]
+    DISNEY_ANISO_SUBSURF = 5 # [anisotropic, subsurface, -]
 
 
 class Integrator(enum.IntEnum):
@@ -200,7 +208,7 @@ class MaterialTable:
     emissive: jax.Array
     emissive_tex: jax.Array
     ior: jax.Array
-    types_present: tuple = (0, 1, 2, 3)
+    types_present: tuple = (0, 1, 2, 3, 4)
 
     @property
     def num_materials(self) -> int:

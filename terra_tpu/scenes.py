@@ -18,7 +18,7 @@ from .scene import (
     commit,
 )
 
-__all__ = ["cornell_box", "cornell_camera", "random_triangles"]
+__all__ = ["cornell_box", "cornell_camera", "random_triangles", "courtyard", "courtyard_camera"]
 
 
 def _quad(v0, v1, v2, v3):
@@ -144,6 +144,159 @@ def cornell_camera() -> Camera:
         direction=(0.0, 0.0, 1.0),
         up=(0.0, 1.0, 0.0),
         fov_deg=39.3,
+    )
+
+
+def courtyard(
+    grid: int = 300,
+    columns: int = 40,
+    column_segments: int = 48,
+    column_levels: int = 16,
+    accelerator: Accelerator = Accelerator.BVH,
+    textured: bool = True,
+) -> Scene:
+    """Sponza-class procedural stress scene (~250k tris at defaults):
+    a displaced-terrain courtyard floor, a colonnade of fluted columns, a
+    surrounding wall, and two area lights. Used for the BASELINE config-3
+    benchmark (textured ~250k-tri mesh with LBVH build + traversal) since
+    the environment has no scene assets.
+    """
+    from .scene import TextureAtlas
+    import jax.numpy as _jnp
+
+    rng = np.random.default_rng(7)
+    tris = []
+    mids = []
+    oids = []
+    uvs_list = []
+
+    def emit(a, b, c, mid, oid, uv=None):
+        tris.append((a, b, c))
+        mids.append(mid)
+        oids.append(oid)
+        uvs_list.append(uv if uv is not None else ((0, 0), (1, 0), (1, 1)))
+
+    # displaced terrain floor: grid x grid quads over [0, 40]^2
+    size = 40.0
+    xs = np.linspace(0, size, grid + 1)
+    zs = np.linspace(0, size, grid + 1)
+    hx = np.sin(xs[:, None] * 0.7) * 0.25 + np.cos(zs[None, :] * 0.9) * 0.25
+    hx += rng.normal(0, 0.02, hx.shape)
+    for i in range(grid):
+        for j in range(grid):
+            p00 = (xs[i], hx[i, j], zs[j])
+            p10 = (xs[i + 1], hx[i + 1, j], zs[j])
+            p11 = (xs[i + 1], hx[i + 1, j + 1], zs[j + 1])
+            p01 = (xs[i], hx[i, j + 1], zs[j + 1])
+            u0, v0, u1, v1 = i / 8 % 1, j / 8 % 1, (i + 1) / 8 % 1, (j + 1) / 8 % 1
+            emit(p00, p10, p11, 0, 0, ((u0, v0), (u1, v0), (u1, v1)))
+            emit(p00, p11, p01, 0, 0, ((u0, v0), (u1, v1), (u0, v1)))
+
+    # colonnade: fluted columns around the courtyard
+    oid = 1
+    for k in range(columns):
+        ang = 2 * np.pi * k / columns
+        cx = size / 2 + np.cos(ang) * size * 0.35
+        cz = size / 2 + np.sin(ang) * size * 0.35
+        radius = 0.8 + 0.1 * np.sin(5 * ang)
+        height = 8.0
+        segs = column_segments
+        levels = column_levels
+        for lv in range(levels):
+            y0 = lv * height / levels
+            y1 = (lv + 1) * height / levels
+            r0 = radius * (1.0 + 0.08 * np.sin(lv * 1.3))
+            r1 = radius * (1.0 + 0.08 * np.sin((lv + 1) * 1.3))
+            for s in range(segs):
+                a0 = 2 * np.pi * s / segs
+                a1 = 2 * np.pi * (s + 1) / segs
+                flute0 = 1 + 0.06 * np.sin(a0 * 9)
+                flute1 = 1 + 0.06 * np.sin(a1 * 9)
+                p00 = (cx + np.cos(a0) * r0 * flute0, y0, cz + np.sin(a0) * r0 * flute0)
+                p10 = (cx + np.cos(a1) * r0 * flute1, y0, cz + np.sin(a1) * r0 * flute1)
+                p11 = (cx + np.cos(a1) * r1 * flute1, y1, cz + np.sin(a1) * r1 * flute1)
+                p01 = (cx + np.cos(a0) * r1 * flute0, y1, cz + np.sin(a0) * r1 * flute0)
+                uv = ((s / segs, lv / levels), ((s + 1) / segs, lv / levels), ((s + 1) / segs, (lv + 1) / levels))
+                emit(p00, p10, p11, 1, oid, uv)
+                emit(p00, p11, p01, 1, oid, ((s / segs, lv / levels), ((s + 1) / segs, (lv + 1) / levels), (s / segs, (lv + 1) / levels)))
+        oid += 1
+
+    # surrounding walls
+    wall_h = 12.0
+    for (a, b) in [((0, 0), (size, 0)), ((size, 0), (size, size)), ((size, size), (0, size)), ((0, size), (0, 0))]:
+        steps = 40
+        for s in range(steps):
+            t0, t1 = s / steps, (s + 1) / steps
+            x0, z0 = a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0
+            x1, z1 = a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1
+            emit((x0, 0, z0), (x1, 0, z1), (x1, wall_h, z1), 2, oid)
+            emit((x0, 0, z0), (x1, wall_h, z1), (x0, wall_h, z0), 2, oid)
+        oid += 1
+
+    # two area lights high above the courtyard
+    for lx, lz in [(size * 0.3, size * 0.3), (size * 0.7, size * 0.7)]:
+        s = 2.0
+        y = 14.0
+        emit((lx - s, y, lz - s), (lx + s, y, lz - s), (lx + s, y, lz + s), 3, oid)
+        emit((lx - s, y, lz - s), (lx + s, y, lz + s), (lx - s, y, lz + s), 3, oid)
+        oid += 1
+
+    geom = make_geometry(tris, mids, oids)
+    # overwrite uvs with the per-face uvs collected above
+    geom = Geometry(
+        positions=geom.positions, tri_vidx=geom.tri_vidx, normals=geom.normals,
+        uvs=jnp.asarray(np.asarray(uvs_list, np.float32)),
+        mat_id=geom.mat_id, obj_id=geom.obj_id,
+    )
+
+    m = 4
+    attrs = np.zeros((m, 8, 3), np.float32)
+    attrs[0, ATTR.DIFFUSE_ALBEDO] = (0.55, 0.5, 0.45)   # terrain
+    attrs[1, ATTR.GGX_ALBEDO] = (0.7, 0.65, 0.6)         # columns (ggx)
+    attrs[1, ATTR.GGX_ROUGHNESS] = (0.4, 0, 0)
+    attrs[1, ATTR.GGX_METALNESS] = (0.1, 0, 0)
+    attrs[2, ATTR.DIFFUSE_ALBEDO] = (0.35, 0.35, 0.4)    # walls
+    attrs[3, ATTR.DIFFUSE_ALBEDO] = (0.8, 0.8, 0.8)      # light
+    emissive = np.zeros((m, 3), np.float32)
+    emissive[3] = (40.0, 38.0, 34.0)
+    attr_tex = np.full((m, 8), -1, np.int32)
+
+    atlas = None
+    if textured:
+        # procedural checker + marble-ish noise textures
+        res = 128
+        yy, xx = np.mgrid[0:res, 0:res] / res
+        checker = ((np.floor(xx * 8) + np.floor(yy * 8)) % 2)[..., None]
+        tex0 = (0.35 + 0.5 * checker * np.ones((1, 1, 3))).astype(np.float32)
+        marble = (0.5 + 0.5 * np.sin(xx * 20 + 4 * np.sin(yy * 7)))[..., None]
+        tex1 = (np.asarray([0.75, 0.7, 0.62]) * (0.6 + 0.4 * marble)).astype(np.float32)
+        data = np.stack([tex0, tex1]).astype(np.float32)
+        atlas = TextureAtlas(
+            data=_jnp.asarray(data),
+            size=_jnp.asarray(np.asarray([[res, res], [res, res]], np.int32)),
+            filter=_jnp.asarray(np.asarray([1, 1], np.int32)),
+            address=_jnp.asarray(np.asarray([0, 0], np.int32)),
+        )
+        attr_tex[0, ATTR.DIFFUSE_ALBEDO] = 0
+        attr_tex[1, ATTR.GGX_ALBEDO] = 1
+
+    materials = MaterialTable(
+        bsdf_type=jnp.asarray(np.asarray([0, 2, 0, 0], np.int32)),
+        attrs=jnp.asarray(attrs),
+        attr_tex=jnp.asarray(attr_tex),
+        emissive=jnp.asarray(emissive),
+        emissive_tex=jnp.full((m,), -1, jnp.int32),
+        ior=jnp.full((m,), 1.5, jnp.float32),
+    )
+    return commit(geom, materials, textures=atlas, accelerator=accelerator)
+
+
+def courtyard_camera() -> Camera:
+    return Camera.make(
+        position=(20.0, 4.0, 3.0),
+        direction=(0.0, 0.08, 1.0),
+        up=(0.0, 1.0, 0.0),
+        fov_deg=60.0,
     )
 
 

@@ -1,0 +1,190 @@
+"""Tests for distributions, scene editing, native kernels, Disney BRDF."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import terra_tpu as tt
+from terra_tpu import edit
+from terra_tpu.ops import distributions as dist
+
+
+# ------------------------------------------------------------ distributions
+
+def test_distribution_1d_statistics():
+    f = jnp.asarray([1.0, 3.0, 0.0, 4.0])
+    d = dist.build_1d(f)
+    np.testing.assert_allclose(float(d.integral), 8.0)
+    e = jnp.linspace(0.001, 0.999, 4096)
+    x, pdf, idx = dist.sample_1d(d, e)
+    counts = np.bincount(np.asarray(idx), minlength=4) / 4096
+    np.testing.assert_allclose(counts, [1 / 8, 3 / 8, 0, 4 / 8], atol=0.01)
+    assert (np.asarray(x) >= 0).all() and (np.asarray(x) < 1).all()
+    # pdf at sampled buckets matches f/integral
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(d.f)[np.asarray(idx)] / 8.0)
+
+
+def test_distribution_2d_marginals():
+    f = jnp.asarray([[1.0, 1.0], [0.0, 2.0]])
+    d2 = dist.build_2d(f)
+    e = jnp.linspace(0.01, 0.99, 2048)
+    (u, v), pdf = dist.sample_2d(d2, e, jnp.flip(e))
+    v = np.asarray(v)
+    # marginal over rows: row0 weight 2/4, row1 weight 2/4
+    assert abs((v < 0.5).mean() - 0.5) < 0.03
+    assert np.isfinite(np.asarray(pdf)).all()
+
+
+# ------------------------------------------------------------------ editing
+
+def test_list_and_move_object():
+    scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BVH)
+    objs = edit.list_objects(scene)
+    assert len(objs) == 8  # walls x5, light, two blocks
+    # move the short block upward; scene stays consistent
+    moved = edit.move_object(scene, 6, (0.0, 50.0, 0.0))
+    assert float(jnp.max(jnp.abs(moved.geometry.positions - scene.geometry.positions))) == 50.0
+    # render still works and differs from the original
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(width=12, height=12, samples_per_pixel=4, bounces=1,
+                            integrator=tt.Integrator.DIRECT, accelerator=tt.Accelerator.BVH)
+    img0 = np.asarray(tt.render(scene, cam, opts, seed=1).mean())
+    img1 = np.asarray(tt.render(moved, cam, opts, seed=1).mean())
+    assert np.isfinite(img1).all()
+    assert np.abs(img0 - img1).max() > 1e-3
+
+
+def test_move_light_rebuilds_light_table():
+    scene = tt.scenes.cornell_box()
+    scaled = edit.transform_object(scene, 5, lambda p: p * jnp.asarray([2.0, 1.0, 2.0]))
+    # light triangles grew -> areas in the table must grow
+    assert float(jnp.sum(scaled.lights.area)) > float(jnp.sum(scene.lights.area)) * 1.5
+
+
+# ------------------------------------------------------------------- native
+
+def test_native_lbvh_matches_numpy_fallback():
+    from terra_tpu import native
+    from terra_tpu.accel import lbvh
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    scene = tt.scenes.random_triangles(777, seed=4)
+    geom = scene.geometry
+    import os
+
+    os.environ["TERRA_TPU_NO_NATIVE"] = "1"
+    try:
+        native._tried = False
+        native._lib = None
+        bvh_np = lbvh.build(geom)
+    finally:
+        del os.environ["TERRA_TPU_NO_NATIVE"]
+        native._tried = False
+        native._lib = None
+    bvh_nat = lbvh.build(geom)
+    assert bvh_nat.num_leaves == bvh_np.num_leaves
+    # same triangles covered; same leaf partitioning (both morton-sorted)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(bvh_nat.leaf_tri).reshape(-1)),
+        np.sort(np.asarray(bvh_np.leaf_tri).reshape(-1)),
+    )
+    # traversal with both trees agrees with brute force
+    from terra_tpu.accel import traverse
+    from terra_tpu import intersect
+
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(rng.uniform(-2, 2, (512, 3)).astype(np.float32))
+    d_ = rng.normal(size=(512, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    ta, tb, tc = geom.corners()
+    ref = intersect.raycast_brute(o, d, ta, tb, tc)
+    for bvh in (bvh_nat, bvh_np):
+        s = dataclasses.replace(scene, bvh=bvh)
+        hit = traverse.raycast(s, o, d)
+        np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
+
+
+def test_native_obj_parse():
+    from terra_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    text = b"""
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vn 0 0 1
+vt 0.5 0.5
+f 1/1/1 2/1/1 3/1/1 4/1/1
+f -1 -2 -3
+"""
+    out = native.obj_parse(text)
+    assert out is not None
+    verts, norms, uvs, face_idx, face_line = out
+    assert verts.shape == (4, 3) and norms.shape == (1, 3) and uvs.shape == (1, 2)
+    assert face_idx.shape == (3, 3, 3)  # quad fans to 2 + 1 tri
+    np.testing.assert_array_equal(face_idx[0, :, 0], [0, 1, 2])
+    np.testing.assert_array_equal(face_idx[2, :, 0], [3, 2, 1])  # negative idx
+    assert face_idx[2, 0, 1] == -1  # no vt on the second face
+
+
+# ------------------------------------------------------------------- disney
+
+def test_disney_eval_behaves():
+    scene = tt.scenes.cornell_box()
+    # retag material 0 as disney with plausible params
+    attrs = np.asarray(scene.materials.attrs).copy()
+    attrs[0, tt.ATTR.DISNEY_BASE_COLOR] = (0.8, 0.4, 0.2)
+    attrs[0, tt.ATTR.DISNEY_METAL_ROUGH] = (0.3, 0.4, 0.0)
+    attrs[0, tt.ATTR.DISNEY_SHEEN] = (0.5, 0.5, 0.0)
+    attrs[0, tt.ATTR.DISNEY_CLEARCOAT] = (0.5, 0.7, 0.0)
+    bt = np.asarray(scene.materials.bsdf_type).copy()
+    bt[0] = int(tt.BSDFType.DISNEY)
+    mats = dataclasses.replace(
+        scene.materials,
+        attrs=jnp.asarray(attrs),
+        bsdf_type=jnp.asarray(bt),
+        types_present=(0, 4),
+    )
+    scene = dataclasses.replace(scene, materials=mats)
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(width=12, height=12, samples_per_pixel=8, bounces=2,
+                            integrator=tt.Integrator.DIRECT)
+    img = np.asarray(tt.render(scene, cam, opts, seed=3).mean())
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.001
+
+
+def test_disney_eval_reciprocal_positive():
+    """f(wi,wo) >= 0 and zero below the horizon."""
+    from terra_tpu import bsdf
+    from terra_tpu.surface import Surface
+
+    n = 128
+    rng = np.random.default_rng(0)
+    normal = jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)).astype(np.float32))
+    from terra_tpu.ops import math3
+
+    tangent, bitangent = math3.build_basis(normal)
+    attrs = np.zeros((n, 8, 3), np.float32)
+    attrs[:, 0] = (0.5, 0.5, 0.5)
+    attrs[:, 4] = (0.2, 0.5, 0.0)
+    surf = Surface(
+        point=jnp.zeros((n, 3)), normal=normal, tangent=tangent, bitangent=bitangent,
+        uv=jnp.zeros((n, 2)), attrs=jnp.asarray(attrs), emissive=jnp.zeros((n, 3)),
+        mat_id=jnp.zeros((n,), jnp.int32), bsdf_type=jnp.full((n,), 4, jnp.int32),
+        ior=jnp.full((n,), 1.5), t=jnp.ones((n,)),
+        obj_id=jnp.zeros((n,), jnp.int32), tri_area=jnp.ones((n,)),
+    )
+    wi_ = rng.normal(size=(n, 3)).astype(np.float32)
+    wi_[:, 1] = np.abs(wi_[:, 1]) + 0.1
+    wi = jnp.asarray(wi_ / np.linalg.norm(wi_, axis=-1, keepdims=True))
+    wo = jnp.asarray(np.tile([[0.3, 0.8, 0.1]], (n, 1)) / np.linalg.norm([0.3, 0.8, 0.1]))
+    f = np.asarray(bsdf.eval_f(surf, wi, wo, present=(4,)))
+    assert np.isfinite(f).all() and (f >= 0).all()
+    f_below = np.asarray(bsdf.eval_f(surf, -wi, wo, present=(4,)))
+    np.testing.assert_allclose(f_below, 0.0)
