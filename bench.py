@@ -31,36 +31,40 @@ def measure_avg_active(scene, cam, opts, key):
     from terra_tpu.surface import build_shade_tables, surface_init
     from terra_tpu import camera as camera_mod
 
-    # Small probe render that tracks active counts per bounce.
+    # Small probe render that tracks active counts per bounce (one jit).
     probe_opts = opts.replace(width=64, height=64, samples_per_pixel=8)
-    pixel_idx, px, py, sample_idx = _lane_ids(probe_opts, 8, jnp.int32(0))
-    r1, r2 = _pixel_jitter(probe_opts, key, pixel_idx, sample_idx)
-    o, d = camera_mod.generate_rays(cam, 64, 64, px, py, probe_opts.subpixel_jitter, r1, r2)
-    raycast = make_raycast_fn(scene, probe_opts)
-    tables = build_shade_tables(scene)
 
-    active = jnp.ones(o.shape[0], bool)
-    fractions = []
-    for bounce in range(opts.bounces + 1):
-        hit = raycast(o, d)
-        o_off = o + d * intersect.RAY_OFFSET_DIR
-        surf = surface_init(scene, tables, o_off, d, hit.tri)
-        wo = -d
-        active = active & hit.hit
-        fractions.append(float(jnp.mean(active.astype(jnp.float32))))
-        e0 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.BSDF_E0)
-        e1 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.BSDF_E1)
-        e2 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.BSDF_E2)
-        wi, aux = bsdf_mod.sample(surf, e0, e1, e2, wo)
-        pdf = jnp.maximum(bsdf_mod.pdf(surf, wi, wo, aux), 1e-4)
-        f = bsdf_mod.eval_f(surf, wi, wo)
-        tp_gain = math3.max3(f * (math3.dot(surf.normal, wi) / pdf)[..., None])
-        e3 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.ROULETTE)
-        # approximation of the roulette survival on unit throughput
-        active = active & (e3 <= jnp.minimum(tp_gain, 1.0))
-        o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
-        d = wi
-    return fractions
+    @jax.jit
+    def probe():
+        pixel_idx, px, py, sample_idx = _lane_ids(probe_opts, 8, jnp.int32(0))
+        r1, r2 = _pixel_jitter(probe_opts, key, pixel_idx, sample_idx)
+        o, d = camera_mod.generate_rays(cam, 64, 64, px, py, probe_opts.subpixel_jitter, r1, r2)
+        raycast = make_raycast_fn(scene, probe_opts)
+        tables = build_shade_tables(scene)
+        active = jnp.ones(o.shape[0], bool)
+        fractions = []
+        for bounce in range(opts.bounces + 1):
+            hit = raycast(o, d)
+            o_off = o + d * intersect.RAY_OFFSET_DIR
+            surf = surface_init(scene, tables, o_off, d, hit.tri)
+            wo = -d
+            active = active & hit.hit
+            fractions.append(jnp.mean(active.astype(jnp.float32)))
+            e0 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.BSDF_E0)
+            e1 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.BSDF_E1)
+            e2 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.BSDF_E2)
+            wi, aux = bsdf_mod.sample(surf, e0, e1, e2, wo)
+            pdf = jnp.maximum(bsdf_mod.pdf(surf, wi, wo, aux), 1e-4)
+            f = bsdf_mod.eval_f(surf, wi, wo)
+            tp_gain = math3.max3(f * (math3.dot(surf.normal, wi) / pdf)[..., None])
+            e3 = rng_mod.path_uniform(key, pixel_idx, sample_idx, bounce, S.ROULETTE)
+            # approximation of the roulette survival on unit throughput
+            active = active & (e3 <= jnp.minimum(tp_gain, 1.0))
+            o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+            d = wi
+        return jnp.stack(fractions)
+
+    return [float(x) for x in np.asarray(probe())]
 
 
 def main():
@@ -76,7 +80,7 @@ def main():
     opts = tt.RenderOptions(
         width=256, height=256, samples_per_pixel=64, bounces=4,
         integrator=tt.Integrator.SIMPLE, subpixel_jitter=0.5,
-        samples_per_launch=16,
+        samples_per_launch=32,
     )
     k0, k1 = rng_mod.key_from_seed(0)
     key = jnp.array([k0, k1], jnp.uint32)
@@ -86,14 +90,19 @@ def main():
     # bounce iteration (masked-lane execution), but we count only lanes
     # that were live entering the bounce — what a work-compacting tracer
     # would trace. Shadow rays: none for SIMPLE.
+    import sys
+    print("probe...", file=sys.stderr, flush=True)
     fractions = measure_avg_active(scene, cam, opts, key)
+    print(f"fractions {fractions}", file=sys.stderr, flush=True)
     lanes = opts.width * opts.height * opts.samples_per_pixel
     rays_per_lane = 1.0 + sum(fractions[:-1])  # primary + continuations
     total_rays = lanes * rays_per_lane
 
     # compile
+    print("compiling render chunk...", file=sys.stderr, flush=True)
     acc = render_chunk(scene, cam, opts, key, jnp.int32(0), spp_chunk)
     acc.block_until_ready()
+    print("timing...", file=sys.stderr, flush=True)
 
     # timed: full 64 spp in chunks
     n_chunks = opts.samples_per_pixel // spp_chunk

@@ -116,19 +116,27 @@ def _pack_counter(sample_idx, bounce, stream):
 def path_uniform(key, pixel_idx, sample_idx, bounce, stream):
     """One float32 uniform in [0,1) per lane.
 
+    Stream-pair convention: streams 2k and 2k+1 are the two output words of
+    ONE threefry evaluation at counter stream 2k — adjacent streams cost a
+    single cipher (the bundle exploits this). The NumPy mirror implements
+    the identical mapping.
+
     ``key``: (k0, k1) uint32 pair from :func:`key_from_seed`.
     ``pixel_idx``/``sample_idx``: integer arrays (lane-shaped).
     ``bounce``/``stream``: scalars (traced or static).
     """
-    ctr1 = _pack_counter(sample_idx, bounce, stream)
-    b0, _ = threefry2x32(key[0], key[1], jnp.asarray(pixel_idx, jnp.uint32), ctr1)
-    return uniform_from_bits(b0)
+    base = (int(stream) // 2) * 2 if not hasattr(stream, "dtype") else (stream // 2) * 2
+    ctr1 = _pack_counter(sample_idx, bounce, base)
+    b0, b1 = threefry2x32(key[0], key[1], jnp.asarray(pixel_idx, jnp.uint32), ctr1)
+    odd = (stream % 2) if hasattr(stream, "dtype") else int(stream) % 2
+    if hasattr(odd, "dtype"):
+        return uniform_from_bits(jnp.where(odd == 1, b1, b0))
+    return uniform_from_bits(b1 if odd else b0)
 
 
 def path_uniform2(key, pixel_idx, sample_idx, bounce, stream):
-    """Two float32 uniforms per lane from one threefry call (both output
-    words). Stream convention: uses ``stream`` for the pair; the second
-    value corresponds to ``stream+1`` logically but costs no extra cipher."""
+    """Two float32 uniforms per lane from one threefry call: streams
+    (stream, stream+1) with ``stream`` even (the pair convention)."""
     ctr1 = _pack_counter(sample_idx, bounce, stream)
     b0, b1 = threefry2x32(key[0], key[1], jnp.asarray(pixel_idx, jnp.uint32), ctr1)
     return uniform_from_bits(b0), uniform_from_bits(b1)
@@ -138,19 +146,25 @@ def path_uniform_bundle(key, pixel_idx, sample_idx, bounce, streams):
     """All of a bounce's uniforms in ONE threefry launch.
 
     ``streams``: static tuple of stream ids. Returns {stream: (N,) f32}.
-    Counters are stacked to (S, N) so the whole bundle is a single cipher
-    kernel instead of S separate launches (launch overhead dominates small
-    elementwise kernels on TPU).
+    Streams are grouped into even-base pairs (see :func:`path_uniform`):
+    one cipher evaluation yields two streams from its two output words, so
+    a bounce needing S streams costs ceil(S/2) cipher lanes in a single
+    kernel launch.
     """
     pixel_idx = jnp.asarray(pixel_idx, jnp.uint32)
     sample_idx = jnp.asarray(sample_idx, jnp.uint32)
+    bases = sorted({(int(s) // 2) * 2 for s in streams})
     ctrs = jnp.stack(
-        [_pack_counter(sample_idx, bounce, s) for s in streams], axis=0
-    )  # (S, N)
+        [_pack_counter(sample_idx, bounce, b) for b in bases], axis=0
+    )  # (P, N)
     x0 = jnp.broadcast_to(pixel_idx[None, :], ctrs.shape)
-    b0, _ = threefry2x32(key[0], key[1], x0, ctrs)
-    u = uniform_from_bits(b0)
-    return {s: u[i] for i, s in enumerate(streams)}
+    b0, b1 = threefry2x32(key[0], key[1], x0, ctrs)
+    u0 = uniform_from_bits(b0)
+    u1 = uniform_from_bits(b1)
+    row = {b: i for i, b in enumerate(bases)}
+    return {
+        s: (u1 if int(s) % 2 else u0)[row[(int(s) // 2) * 2]] for s in streams
+    }
 
 
 def radical_inverse(base: int, index, iters: int = 32):

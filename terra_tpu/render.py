@@ -45,7 +45,24 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
     """Closest-hit raycast closure (terra_scene_raycast, Terra.c:1623-1657):
     offsets the origin by dir*1e-3 and dispatches on the accelerator."""
     if opts.accelerator == Accelerator.BVH and scene.bvh is not None:
-        from .accel import traverse as bvh_traverse
+        from .accel import pallas_traverse, traverse as bvh_traverse
+
+        # Pallas ordered-stack kernel on TPU when the triangle table fits
+        # VMEM; XLA packet walk otherwise (and on CPU test meshes).
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and pallas_traverse.fits_vmem(scene.bvh)
+        )
+        if use_pallas:
+            packed = pallas_traverse.pack_tables(
+                scene.bvh, *scene.geometry.corners()
+            )
+
+            def raycast(o, d):
+                o = o + d * intersect.RAY_OFFSET_DIR
+                return pallas_traverse.raycast(scene, o, d, packed=packed)
+
+            return raycast
 
         def raycast(o, d):
             o = o + d * intersect.RAY_OFFSET_DIR

@@ -65,9 +65,14 @@ def key_from_seed_np(seed):
 
 
 def uniform_np(key, pixel, sample, bounce, stream):
-    ctr1 = ((np.asarray(sample, U32) << U32(12)) | U32(int(bounce) << 6) | U32(stream)).astype(U32)
-    b0, _ = threefry2x32_np(key[0], key[1], np.asarray(pixel, U32), ctr1)
-    return ((b0 >> U32(8)).astype(F32) * F32(1.0 / (1 << 24))).astype(F32)
+    """Stream-pair convention (must match terra_tpu.ops.rng.path_uniform):
+    streams 2k / 2k+1 are the two output words of one cipher at counter
+    stream 2k."""
+    base = (int(stream) // 2) * 2
+    ctr1 = ((np.asarray(sample, U32) << U32(12)) | U32(int(bounce) << 6) | U32(base)).astype(U32)
+    b0, b1 = threefry2x32_np(key[0], key[1], np.asarray(pixel, U32), ctr1)
+    word = b1 if int(stream) % 2 else b0
+    return ((word >> U32(8)).astype(F32) * F32(1.0 / (1 << 24))).astype(F32)
 
 
 def uniform2_np(key, pixel, sample, bounce, stream):

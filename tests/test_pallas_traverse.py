@@ -1,0 +1,51 @@
+"""Pallas traversal kernel: interpret-mode correctness vs brute force.
+
+On the CPU test mesh the kernel runs through the Pallas interpreter (the
+compiled path is exercised on real TPU hardware by bench/driver runs).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import terra_tpu as tt
+from terra_tpu import intersect
+from terra_tpu.accel import pallas_traverse
+
+
+@pytest.mark.parametrize("tris", [33, 700, 3000])
+def test_pallas_matches_brute(tris):
+    scene = tt.scenes.random_triangles(tris, seed=tris, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(1)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_ = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    hit_p = pallas_traverse.raycast(scene, o, d, interpret=True)
+    ta, tb, tc = scene.geometry.corners()
+    hit_r = intersect.raycast_brute(o, d, ta, tb, tc)
+    h1 = np.asarray(hit_p.hit)
+    h2 = np.asarray(hit_r.hit)
+    np.testing.assert_array_equal(h1, h2)
+    both = h1 & h2
+    np.testing.assert_allclose(
+        np.asarray(hit_p.t)[both], np.asarray(hit_r.t)[both], rtol=1e-4
+    )
+    same_tri = np.asarray(hit_p.tri)[both] == np.asarray(hit_r.tri)[both]
+    assert same_tri.mean() > 0.99  # fp ties on shared edges may differ
+
+
+def test_pallas_unsorted_matches_sorted():
+    scene = tt.scenes.random_triangles(500, seed=9, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(2)
+    o = jnp.asarray(rng.uniform(-2, 2, (2048, 3)).astype(np.float32))
+    d_ = rng.normal(size=(2048, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    a = pallas_traverse.raycast(scene, o, d, sort_rays=True, interpret=True)
+    b = pallas_traverse.raycast(scene, o, d, sort_rays=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5)
+
+
+def test_vmem_budget_gate():
+    small = tt.scenes.random_triangles(100, seed=1, accelerator=tt.Accelerator.BVH)
+    assert pallas_traverse.fits_vmem(small.bvh)
