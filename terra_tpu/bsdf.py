@@ -167,8 +167,7 @@ def _ggx_sample(surface: Surface, e1, e2, e3, wo):
     """Mixture: diffuse with prob (1 - metalness), else GGX NDF half-vector
     (theta = atan(alpha sqrt(e1) / sqrt(1-e1)), TerraPresets.c:334-344)."""
     albedo, rough, metal, alpha = _ggx_params(surface)
-    pd = 1.0 - 0.5 * metal - 0.5 * (1.0 - metal) * 0.0  # diffuse pick prob
-    pd = jnp.clip(1.0 - metal * 0.5 - 0.25, 0.05, 0.95)  # keep both lobes alive
+    pd = jnp.clip(1.0 - metal * 0.5 - 0.25, 0.05, 0.95)  # diffuse pick prob; keep both lobes alive
     take_diffuse = e3 < pd
     wi_d = _cosine_hemisphere(surface, e1, e2)
     tan_theta = alpha * jnp.sqrt(e1) / jnp.sqrt(jnp.maximum(1.0 - e1, 1e-8))

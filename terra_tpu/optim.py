@@ -175,10 +175,20 @@ def recover(
     seed: int = 0,
     mesh: Optional[Mesh] = None,
     log_every: int = 0,
+    clip_to_physical: bool = True,
 ):
-    """Run the inverse-rendering loop; returns (scene_recovered, losses)."""
+    """Run the inverse-rendering loop; returns (scene_recovered, losses).
+
+    ``clip_to_physical`` projects parameters after each step: attribute
+    values to [0, attr_cap] where attr_cap keeps exponent-like slots that
+    started above 1 free, and emission to >= 0."""
     optimizer = optax.adam(learning_rate)
     params = extract_params(scene_init, fields)
+    attr_cap = None
+    if clip_to_physical and "attrs" in params:
+        # slots whose initial value exceeds 1 (phong exponents, etc.) keep a
+        # generous cap; color-like slots are capped at 1.
+        attr_cap = jnp.where(params["attrs"] > 1.0, 1e4, 1.0)
     state = TrainState(params, optimizer.init(params), jnp.int32(0))
     k0, k1 = rng_mod.key_from_seed(seed)
     key = jnp.array([k0, k1], jnp.uint32)
@@ -189,6 +199,13 @@ def recover(
     losses = []
     for i in range(steps):
         state, loss = step_fn(state, scene_init, key)
+        if clip_to_physical:
+            p = dict(state.params)
+            if "attrs" in p:
+                p["attrs"] = jnp.clip(p["attrs"], 0.0, attr_cap)
+            if "emissive" in p:
+                p["emissive"] = jnp.maximum(p["emissive"], 0.0)
+            state = TrainState(p, state.opt_state, state.step)
         losses.append(float(loss))
         if log_every and (i % log_every == 0):
             print(f"step {i:4d} loss {losses[-1]:.6f}")

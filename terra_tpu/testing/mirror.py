@@ -424,7 +424,6 @@ def render_mirror(scene, camera, opts, seed=0):
     py = (pix // W).astype(F32)
 
     # camera (matches terra_tpu.camera)
-    from . import mirror as _self  # noqa
     jit = F32(opts.subpixel_jitter)
     if opts.sampling_method == 1:  # stratified
         strata = max(int(opts.strata), 1)
