@@ -111,16 +111,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         base = (node % 64) * LINK_FIELDS
         return _extract_i32(row, base), _extract_i32(row, base + 1)
 
-    def leaf_test(leaf_id):
+    def leaf_test(leaf_id, skip_dma: bool = False):
         """MT the packet against the leaf's triangles.
 
         tris_in_vmem: triangle fields are lane-packed 8-per-row in VMEM and
         read with one-hot extraction. Otherwise the leaf's rows are DMA'd
-        from HBM first (NOTE: the in-loop DMA currently hangs the Mosaic
-        compiler on this toolchain — kept for future toolchains; callers
-        gate on available VMEM).
+        from HBM into scratch (issued by the caller when skip_dma).
         """
-        if not tris_in_vmem:
+        if not tris_in_vmem and not skip_dma:
             dma = pltpu.make_async_copy(
                 tris_ref.at[pl.ds(leaf_id * leaf_size, leaf_size)], tri_scratch, dma_sem
             )
@@ -177,9 +175,25 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             node = stack_ref[sp]
             is_leaf = node >= ni
 
-            @pl.when(is_leaf)
-            def _():
-                leaf_test(node - ni)
+            if tris_in_vmem:
+                @pl.when(is_leaf)
+                def _():
+                    leaf_test(node - ni)
+            else:
+                # DMA variant: the copy is issued unconditionally (leaf row 0
+                # for internal nodes — wasted but predicated DMA hangs the
+                # Mosaic compiler); only the MT update is predicated.
+                safe_leaf = jnp.where(is_leaf, node - ni, 0)
+                dma = pltpu.make_async_copy(
+                    tris_ref.at[pl.ds(safe_leaf * leaf_size, leaf_size)],
+                    tri_scratch, dma_sem,
+                )
+                dma.start()
+                dma.wait()
+
+                @pl.when(is_leaf)
+                def _():
+                    leaf_test(safe_leaf, skip_dma=True)
 
             safe_node = jnp.where(is_leaf, 0, node)
             l, r = children(safe_node)
