@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..intersect import RayHit, T_FAR, mt_grid_components
-from ..ops import math3
 
 __all__ = ["raycast", "PACKET_SIZE"]
 

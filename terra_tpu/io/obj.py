@@ -24,7 +24,7 @@ Returns (Geometry, MaterialTable, TextureAtlas) ready for
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -15,7 +15,6 @@ with the backward sweep where profitable.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax

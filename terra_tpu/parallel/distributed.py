@@ -19,7 +19,7 @@ here is pod-specific except initialize().
 from __future__ import annotations
 
 import logging
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 

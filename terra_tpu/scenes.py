@@ -2,8 +2,6 @@
 build the classic Cornell box in code, SURVEY.md §7 step 1)."""
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 

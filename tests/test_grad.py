@@ -1,8 +1,6 @@
 """Gradient correctness: autodiff vs finite differences (BASELINE.md:
 "pixel-grad allclose vs finite-difference"), plus inverse-rendering
 convergence on a toy recover task."""
-import dataclasses
-
 import numpy as np
 import pytest
 import jax

@@ -7,7 +7,7 @@ import pytest
 
 import terra_tpu as tt
 from terra_tpu.checkpoint import load_render_state, save_render_state
-from terra_tpu.config import Config, find_config_file, load_config_file
+from terra_tpu.config import Config, load_config_file
 from terra_tpu.film import Film
 from terra_tpu.io.image import load_image, save_image
 from terra_tpu.io.obj import load_obj

@@ -1,6 +1,5 @@
 """Render smoke + behavior tests on the Cornell box."""
 import numpy as np
-import pytest
 
 import terra_tpu as tt
 
