@@ -325,7 +325,7 @@ def _traverse_pallas(bvh, boxes, links, tris, o, d, interpret: bool = False,
 # VMEM budget for the lane-packed triangle table (~16 f32 per tri): scenes
 # above this fall back to the XLA traversal until the HBM-DMA kernel path
 # compiles on this toolchain.
-VMEM_TRI_BUDGET = 4 << 20  # bytes
+VMEM_TRI_BUDGET = 8 << 20  # bytes (73k tris verified compiling + fast on v5e)
 
 
 def fits_vmem(bvh) -> bool:
