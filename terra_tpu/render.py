@@ -211,6 +211,10 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         )
         return carry, None
 
+    # NOTE: splitting the final bounce out of the scan (to skip its
+    # discarded continuation work) measured ~8% faster at runtime but
+    # doubled the Mosaic compile time of the render graph on this
+    # toolchain — not worth it while compiles cost minutes.
     bounces = jnp.arange(opts.bounces + 1, dtype=jnp.int32)
     final, _ = jax.lax.scan(bounce_body, init, bounces)
     return final["Lo"]
