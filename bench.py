@@ -80,7 +80,7 @@ def main():
     opts = tt.RenderOptions(
         width=256, height=256, samples_per_pixel=64, bounces=4,
         integrator=tt.Integrator.SIMPLE, subpixel_jitter=0.5,
-        samples_per_launch=32,
+        samples_per_launch=32, samples_per_lane=8,
     )
     k0, k1 = rng_mod.key_from_seed(0)
     key = jnp.array([k0, k1], jnp.uint32)

@@ -74,6 +74,7 @@ OPTIONS: Dict[str, OptionSpec] = {
         OptionSpec("render_jitter", "Subpixel jitter amplitude", float, 0.0),
         OptionSpec("render_strata", "Strata per dimension (stratified)", int, 4),
         OptionSpec("render_samples_per_launch", "spp per device launch (0=all)", int, 0),
+        OptionSpec("render_samples_per_lane", "samples traced back-to-back per lane", int, 8),
         OptionSpec("camera_position", "Camera position x,y,z", _parse_float3, (0.0, 0.9, 2.4)),
         OptionSpec("camera_direction", "Camera direction x,y,z", _parse_float3, (0.0, 0.0, -1.0)),
         OptionSpec("camera_up", "Camera up vector", _parse_float3, (0.0, 1.0, 0.0)),
@@ -120,6 +121,7 @@ class Config:
             subpixel_jitter=v["render_jitter"], strata=v["render_strata"],
             manual_exposure=v["render_exposure"], gamma=v["render_gamma"],
             samples_per_launch=v["render_samples_per_launch"],
+            samples_per_lane=v["render_samples_per_lane"],
         )
         return opts.replace(**overrides) if overrides else opts
 

@@ -220,6 +220,127 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
     return final["Lo"]
 
 
+def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
+                     pixel_idx, px, py, sample_base, quota: int):
+    """Persistent-lane wavefront: each lane traces ``quota`` samples of its
+    pixel back-to-back, regenerating a fresh camera ray the moment a path
+    terminates. The fixed-depth scan in :func:`trace` keeps every lane
+    busy for bounces+1 iterations even though most paths die early (Cornell
+    survival per bounce: ~0.93/0.49/0.30/0.20/0.13); here a lane's dead
+    time is only the tail where its quota finished before its neighbours'.
+
+    Identical estimator to :func:`trace`: every (pixel, sample, bounce,
+    stream) random draw, every bounce decision and every radiance term is
+    the same — only the scheduling (and thus f32 accumulation order across
+    samples) differs.
+
+    Returns (N_lanes, 3) radiance *sums* over each lane's quota.
+    """
+    raycast = make_raycast_fn(scene, opts)
+    integrator = make_integrator(opts.integrator)
+    from .surface import build_shade_tables
+
+    tables = build_shade_tables(scene)
+    present = scene.materials.types_present
+    streams = _streams_for(opts.integrator)
+    n = pixel_idx.shape[0]
+
+    def new_ray(sample_idx):
+        r1, r2 = _pixel_jitter(opts, key, pixel_idx, sample_idx)
+        return camera_mod.generate_rays(
+            cam, opts.width, opts.height, px, py, opts.subpixel_jitter, r1, r2
+        )
+
+    o0, d0 = new_ray(sample_base)
+    init = dict(
+        o=o0,
+        d=d0,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        lo_sample=jnp.zeros((n, 3), jnp.float32),
+        lo_total=jnp.zeros((n, 3), jnp.float32),
+        sample=jnp.broadcast_to(jnp.asarray(sample_base, jnp.int32), (n,)).astype(jnp.int32),
+        bounce=jnp.zeros((n,), jnp.int32),
+        done=jnp.zeros((n,), jnp.int32),  # completed samples per lane
+        finished=jnp.zeros((n,), bool),
+        iters=jnp.int32(0),
+    )
+    max_iters = quota * (opts.bounces + 1)
+
+    def cond(st):
+        return (~jnp.all(st["finished"])) & (st["iters"] < max_iters)
+
+    def body(st):
+        o, d, bounce = st["o"], st["d"], st["bounce"]
+        throughput = st["throughput"]
+        active = ~st["finished"]
+
+        # per-lane (sample, bounce) counters — one threefry launch
+        u = rng_mod.path_uniform_bundle(key, pixel_idx, st["sample"], bounce, streams)
+
+        def rng(_bounce, stream):
+            return u[stream]
+
+        hit = raycast(o, d)
+        o_off = o + d * intersect.RAY_OFFSET_DIR
+        surf = surface_init(scene, tables, o_off, d, hit.tri)
+        wo = -d
+
+        lo_sample = st["lo_sample"]
+        if opts.env_on_miss:
+            env = _env_radiance(scene, d)
+            miss_mask = active & ~hit.hit
+            lo_sample = lo_sample + jnp.where(miss_mask[..., None], throughput * env, 0.0)
+        alive = active & hit.hit
+
+        ctx = dict(
+            scene=scene, rng=rng, raycast=raycast, ray_origin=o,
+            tables=tables, present=present,
+        )
+        radiance = integrator(ctx, surf, wo, throughput, bounce)
+        lo_sample = lo_sample + jnp.where(alive[..., None], radiance, 0.0)
+
+        # continuation (Terra.c:1064-1093)
+        wi, aux = bsdf.sample(surf, u[S.BSDF_E0], u[S.BSDF_E1], u[S.BSDF_E2], wo, present)
+        pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux, present), EPS)
+        f = bsdf.eval_f(surf, wi, wo, present)
+        nol = math3.dot(surf.normal, wi)
+        new_tp = throughput * f * (nol / pdf)[..., None]
+        p = math3.max3(new_tp)
+        rr_on = bounce >= opts.rr_start_bounce
+        survive = alive & jnp.where(rr_on, u[S.ROULETTE] <= p, True) & (bounce < opts.bounces)
+        new_tp = jnp.where(rr_on[..., None], new_tp / (p + EPS)[..., None], new_tp)
+
+        # path end -> bank the sample, regenerate or finish
+        path_end = active & ~survive
+        done = st["done"] + path_end.astype(jnp.int32)
+        lo_total = st["lo_total"] + jnp.where(path_end[..., None], lo_sample, 0.0)
+        need_more = done < quota
+        regen = path_end & need_more
+        finished = st["finished"] | (path_end & ~need_more)
+        sample = st["sample"] + path_end.astype(jnp.int32)
+
+        ro, rd = new_ray(sample)
+        cont_o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+        return dict(
+            o=jnp.where(regen[..., None], ro, jnp.where(survive[..., None], cont_o, o)),
+            d=jnp.where(regen[..., None], rd, jnp.where(survive[..., None], wi, d)),
+            throughput=jnp.where(
+                regen[..., None], 1.0,
+                jnp.where(survive[..., None], new_tp, throughput),
+            ),
+            lo_sample=jnp.where(path_end[..., None], 0.0, lo_sample),
+            lo_total=lo_total,
+            sample=sample,
+            bounce=jnp.where(regen, 0, jnp.where(survive, bounce + 1, bounce)),
+            done=done,
+            finished=finished,
+            iters=st["iters"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final["lo_total"]
+
+
 def _lane_ids(opts: RenderOptions, spp_chunk: int, sample_offset, row0=0, rows: int = 0):
     """Flat lane layout: pixel-major, ``spp_chunk`` consecutive lanes per
     pixel. ``row0``/``rows`` select a horizontal band (for row-sharded
@@ -241,6 +362,16 @@ def render_rows(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_offs
     """Trace a horizontal band of ``rows`` pixel rows starting at traced row
     index ``row0`` — the shard body for row-sharded rendering. Returns the
     (rows, W, 3) radiance sum over the chunk."""
+    quota = max(int(opts.samples_per_lane), 1)
+    while spp_chunk % quota:  # largest compatible divisor <= requested
+        quota -= 1
+    if quota > 1:
+        lanes_pp = spp_chunk // quota
+        pixel_idx, px, py, sample_idx = _lane_ids(opts, lanes_pp, sample_offset, row0, rows)
+        # lane j of a pixel owns samples [offset + j*quota, offset + (j+1)*quota)
+        lane_base = sample_offset + (sample_idx - sample_offset) * quota
+        Lo = trace_persistent(scene, opts, cam, key, pixel_idx, px, py, lane_base, quota)
+        return Lo.reshape(rows, opts.width, lanes_pp, 3).sum(axis=2)
     pixel_idx, px, py, sample_idx = _lane_ids(opts, spp_chunk, sample_offset, row0, rows)
     r1, r2 = _pixel_jitter(opts, key, pixel_idx, sample_idx)
     o, d = camera_mod.generate_rays(

@@ -327,6 +327,13 @@ class RenderOptions:
     # Wavefront scheduling: how many samples per pixel are traced in one
     # device program (bounds HBM footprint of the SoA path state).
     samples_per_launch: int = 0  # 0 = all spp in one launch
+    # Persistent lanes: each lane traces this many samples sequentially,
+    # regenerating a new camera ray the moment its path terminates (miss /
+    # roulette / depth) instead of idling masked until the bounce scan ends.
+    # 1 = classic fixed-depth wavefront (bit-matches the golden mirror);
+    # >1 keeps lanes ~fully occupied (estimator unchanged: the exact same
+    # (pixel, sample, bounce, stream) random draws are consumed).
+    samples_per_lane: int = 1
     # Reference behavior: env radiance on miss is *not* added to Lo (the add
     # is commented out at Terra.c:1056). True enables the useful behavior.
     env_on_miss: bool = False
