@@ -5,13 +5,13 @@ HBM-resident flattened node/triangle buffer"): the reference's per-ray
 stack traversal (/root/reference/src/TerraBVH.c:250-310) re-architected for
 the TPU memory system:
 
-  * node boxes and child links are packed 128-to-a-lane-row
-    ((num_rows, 128) arrays, 16 nodes' boxes or 64 nodes' link-pairs per
-    row) so the whole tree fits VMEM without tile padding — a (N, 3)
-    layout would pad 3 -> 128 lanes and blow VMEM 42x;
-  * per-node fields are read with one-hot lane extraction (iota == lane
-    compare + reduce), the TPU-native substitute for dynamic lane
-    indexing;
+  * node boxes and child links live in SMEM (scalar memory) as flat
+    arrays — box fields and child ids are plain scalar loads feeding the
+    scalar traversal loop and broadcasting into the vector slab test.
+    This removes ~14 VPU->scalar one-hot extraction round trips per node
+    visit (measured ~65 cycles each on v5e) that an earlier VMEM-row
+    layout paid; the packet AABB test needs exactly ONE cross-lane
+    reduction per child (the masked entry-t min; any-hit is entry<FAR);
   * triangle corner data stays in HBM ((C*L, 128) f32 — one 128-lane row
     per leaf slot, tri ids float-encoded into lane 9) and each visited
     leaf's rows are DMA'd into a VMEM scratch slab on demand — leaf
@@ -61,10 +61,16 @@ def _extract_i32(row, lane_idx):
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            boxes_ref, links_ref, tris_ref,
+            nodes_ref, links_ref, tris_ref,
             best_t_ref, best_i_ref,
-            tri_scratch, dma_sem,
-            *, ni: int, num_leaves: int, leaf_size: int, tris_in_vmem: bool):
+            *rest,
+            ni: int, num_leaves: int, leaf_size: int, tris_in_vmem: bool,
+            count_steps: bool = False):
+    if count_steps:
+        steps_ref, tri_scratch, dma_sem = rest
+    else:
+        steps_ref = None
+        tri_scratch, dma_sem = rest
     ox = ox_ref[...]
     oy = oy_ref[...]
     oz = oz_ref[...]
@@ -77,22 +83,19 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     best_t_ref[...] = jnp.full(ox.shape, T_FAR, jnp.float32)
     best_i_ref[...] = jnp.zeros(ox.shape, jnp.int32)
 
-    def box_test(node):
-        """Packet AABB test vs node -> (any_hit, min_entry_t)."""
-        row = boxes_ref[node // 16].reshape(1, 128)
-        base = (node % 16) * BOX_FIELDS
-        bminx = _extract(row, base + 0)
-        bminy = _extract(row, base + 1)
-        bminz = _extract(row, base + 2)
-        bmaxx = _extract(row, base + 3)
-        bmaxy = _extract(row, base + 4)
-        bmaxz = _extract(row, base + 5)
-        t1x = (bminx - ox) * idx_
-        t2x = (bmaxx - ox) * idx_
-        t1y = (bminy - oy) * idy
-        t2y = (bmaxy - oy) * idy
-        t1z = (bminz - oz) * idz
-        t2z = (bmaxz - oz) * idz
+    def child_entry(node):
+        """Packet AABB test vs node -> min entry t (T_FAR on miss).
+
+        Box fields are scalar SMEM loads broadcast into the vector slab
+        test; the single masked-min reduction doubles as the any-hit test
+        (entry < T_FAR)."""
+        b = node * 6
+        t1x = (nodes_ref[b + 0] - ox) * idx_
+        t2x = (nodes_ref[b + 3] - ox) * idx_
+        t1y = (nodes_ref[b + 1] - oy) * idy
+        t2y = (nodes_ref[b + 4] - oy) * idy
+        t1z = (nodes_ref[b + 2] - oz) * idz
+        t2z = (nodes_ref[b + 5] - oz) * idz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -102,14 +105,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.maximum(t1z, t2z),
         )
         hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
-        any_hit = jnp.any(hit)
-        entry = jnp.min(jnp.where(hit, tmin, T_FAR))
-        return any_hit, entry
-
-    def children(node):
-        row = links_ref[node // 64].reshape(1, 128)
-        base = (node % 64) * LINK_FIELDS
-        return _extract_i32(row, base), _extract_i32(row, base + 1)
+        return jnp.min(jnp.where(hit, tmin, T_FAR))
 
     def leaf_test(leaf_id, skip_dma: bool = False):
         """MT the packet against the leaf's triangles.
@@ -196,16 +192,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     leaf_test(safe_leaf, skip_dma=True)
 
             safe_node = jnp.where(is_leaf, 0, node)
-            l, r = children(safe_node)
-            lhit, lentry = box_test(l)
-            rhit, rentry = box_test(r)
+            l = links_ref[2 * safe_node]
+            r = links_ref[2 * safe_node + 1]
+            lentry = child_entry(l)
+            rentry = child_entry(r)
             near_first = lentry <= rentry
             first = jnp.where(near_first, l, r)
             second = jnp.where(near_first, r, l)
-            first_hit = jnp.where(near_first, lhit, rhit)
-            second_hit = jnp.where(near_first, rhit, lhit)
-            push2 = (~is_leaf) & second_hit
-            push1 = (~is_leaf) & first_hit
+            push2 = (~is_leaf) & (jnp.maximum(lentry, rentry) < T_FAR)
+            push1 = (~is_leaf) & (jnp.minimum(lentry, rentry) < T_FAR)
 
             @pl.when(push2)
             def _():
@@ -222,43 +217,40 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         if ni == 0:
             leaf_test(jnp.int32(0))
+            if steps_ref is not None:
+                steps_ref[...] = jnp.ones_like(best_i_ref[...])
         else:
             cap = jnp.int32(8 * (ni + num_leaves) + 64)
             stack_ref[0] = jnp.int32(0)
-            jax.lax.while_loop(
+            _, steps = jax.lax.while_loop(
                 lambda state: (state[0] > 0) & (state[1] < cap),
                 body,
                 (jnp.int32(1), jnp.int32(0)),
             )
+            if steps_ref is not None:
+                steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
     pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
 def pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem: bool = True):
-    """Lane-pack the tree for the kernel (once per (scene, bvh)).
+    """Pack the tree for the kernel (once per (scene, bvh)).
 
-    Returns (boxes, links, tris):
-      boxes : (ceil(Nn/16), 128) f32 — 16 nodes x 8 fields per row
-      links : (ceil(ni/64), 128) i32 — 64 nodes x [left, right] per row
+    Returns (nodes, links, tris):
+      nodes : (Nn*6,) f32 flat SMEM box table —
+              node n's minx,miny,minz,maxx,maxy,maxz at [6n, 6n+6)
+      links : (max(ni,1)*2,) i32 flat SMEM child table
       tris  : tris_in_vmem: (ceil(C*L/8), 128) f32 — 8 tri slots x 16
               fields per lane row (VMEM-resident);
               else (C*L, 128) f32 HBM rows, one per slot.
       lane/field 9 holds the float-encoded global tri id.
     """
-    nn = bvh.node_min.shape[0]
     ni = bvh.num_internal
-    rows = -(-nn // 16)
-    boxes = jnp.zeros((rows * 16, BOX_FIELDS), jnp.float32)
-    boxes = boxes.at[:nn, 0:3].set(bvh.node_min)
-    boxes = boxes.at[:nn, 3:6].set(bvh.node_max)
-    boxes = boxes.reshape(rows, 128)
-
-    lrows = max(-(-ni // 64), 1)
-    links = jnp.zeros((lrows * 64, LINK_FIELDS), jnp.int32)
+    nodes = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1).reshape(-1)
     if ni > 0:
-        links = links.at[:ni, 0].set(bvh.node_left)
-        links = links.at[:ni, 1].set(bvh.node_right)
-    links = links.reshape(lrows, 128)
+        links = jnp.stack([bvh.node_left, bvh.node_right], axis=1).reshape(-1)
+    else:
+        links = jnp.zeros((2,), jnp.int32)
 
     leaf_flat = bvh.leaf_tri.reshape(-1)
     corners = jnp.concatenate(
@@ -275,15 +267,16 @@ def pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem: bool = True):
         tris = jnp.zeros((slots, TRI_FIELDS), jnp.float32)
         tris = tris.at[:, :9].set(corners)
         tris = tris.at[:, 9].set(leaf_flat.astype(jnp.float32))
-    return boxes, links, tris
+    return nodes, links, tris
 
 
-def _traverse_pallas(bvh, boxes, links, tris, o, d, interpret: bool = False,
-                     tris_in_vmem: bool = True):
-    """o, d: (N, 3) with N a multiple of PACKET."""
+def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
+                     tris_in_vmem: bool = True, packet_rows: int = 8,
+                     count_steps: bool = False):
+    """o, d: (N, 3) with N a multiple of packet_rows*128."""
     n = o.shape[0]
-    num_packets = n // PACKET
-    rows = num_packets * 8
+    num_packets = n // (packet_rows * 128)
+    rows = num_packets * packet_rows
 
     def plane(v):
         return v.reshape(rows, 128)
@@ -291,34 +284,40 @@ def _traverse_pallas(bvh, boxes, links, tris, o, d, interpret: bool = False,
     comps = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
              plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2])]
 
-    ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, tris_in_vmem=tris_in_vmem,
+        count_steps=count_steps,
     )
     tri_space = pltpu.VMEM if tris_in_vmem else pltpu.ANY
-    best_t, best_i = pl.pallas_call(
+    n_out = 3 if count_steps else 2
+    out = pl.pallas_call(
         kernel,
         grid=(num_packets,),
         in_specs=[ray_spec] * 6 + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # links
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes (flat)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # child links (flat)
             pl.BlockSpec(memory_space=tri_space),    # tris: VMEM or HBM
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((rows, 128), jnp.int32)] if count_steps else []),
         scratch_shapes=[
             pltpu.VMEM((bvh.leaf_size, TRI_FIELDS), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(*comps, boxes, links, tris)
+    )(*comps, nodes, links, tris)
+    best_t, best_i = out[0], out[1]
+    if count_steps:
+        return best_t.reshape(-1), best_i.reshape(-1), out[2].reshape(-1)
     return best_t.reshape(-1), best_i.reshape(-1)
 
 
@@ -327,9 +326,24 @@ def _traverse_pallas(bvh, boxes, links, tris, o, d, interpret: bool = False,
 # compiles on this toolchain.
 VMEM_TRI_BUDGET = 8 << 20  # bytes (73k tris verified compiling + fast on v5e)
 
+# SMEM budget for the flat node-box + child-link tables. Empirically a
+# 512 KB SMEM scratch compiles on this v5e toolchain and 1 MB does not;
+# leave headroom for the traversal stack and compiler-internal scalars.
+SMEM_NODE_BUDGET = 440 << 10  # bytes
+
 
 def fits_vmem(bvh) -> bool:
     return bvh.num_leaves * bvh.leaf_size * 16 * 4 <= VMEM_TRI_BUDGET
+
+
+def fits_smem(bvh) -> bool:
+    nn = 2 * bvh.num_leaves - 1 if bvh.num_leaves else 1
+    return nn * 6 * 4 + max(bvh.num_internal, 1) * 2 * 4 <= SMEM_NODE_BUDGET
+
+
+def supported(bvh) -> bool:
+    """Whole scene drivable by the Pallas kernel on this toolchain."""
+    return fits_vmem(bvh) and fits_smem(bvh)
 
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
@@ -345,12 +359,13 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
 
     bvh = scene.bvh
     tris_in_vmem = not use_dma
-    if tris_in_vmem and not fits_vmem(bvh) and not interpret:
+    too_big = (tris_in_vmem and not fits_vmem(bvh)) or not fits_smem(bvh)
+    if too_big and not interpret:
         return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays)
     tri_a, tri_b, tri_c = scene.geometry.corners()
     if packed is None:
         packed = pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem)
-    boxes, links, tris = packed
+    nodes, links, tris = packed
     n = o.shape[0]
 
     order = None
@@ -366,7 +381,7 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
 
-    best_t, best_i = _traverse_pallas(bvh, boxes, links, tris, o, d, interpret, tris_in_vmem)
+    best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret, tris_in_vmem)
     best_t = best_t[:n]
     best_i = best_i[:n]
     if order is not None:

@@ -51,7 +51,7 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
         # VMEM; XLA packet walk otherwise (and on CPU test meshes).
         use_pallas = (
             jax.default_backend() not in ("cpu",)
-            and pallas_traverse.fits_vmem(scene.bvh)
+            and pallas_traverse.supported(scene.bvh)
         )
         if use_pallas:
             packed = pallas_traverse.pack_tables(
