@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--columns", type=int, default=20)
     ap.add_argument("--rays", type=int, default=1 << 20)
     ap.add_argument("--packet-rows", type=int, nargs="+", default=[8, 2])
+    ap.add_argument("--leaf-size", type=int, default=0,
+                    help="rebuild the BVH with this leaf size (0 = scene default)")
+    ap.add_argument("--dma", action="store_true",
+                    help="bench the HBM-resident triangle table (per-leaf DMA)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -39,6 +43,11 @@ def main():
     from terra_tpu.accel import traverse as xla_traverse
 
     scene = tt.scenes.courtyard(grid=args.grid, columns=args.columns)
+    if args.leaf_size:
+        import dataclasses
+        from terra_tpu.accel import lbvh
+        scene = dataclasses.replace(
+            scene, bvh=lbvh.build(scene.geometry, leaf_size=args.leaf_size))
     bvh = scene.bvh
     ntri = scene.geometry.tri_vidx.shape[0]
     print(f"tris={ntri} leaves={bvh.num_leaves} leaf_size={bvh.leaf_size} "
@@ -60,7 +69,8 @@ def main():
     d_i = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
 
     tri_a, tri_b, tri_c = scene.geometry.corners()
-    packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem=True)
+    tris_in_vmem = not args.dma
+    packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem=tris_in_vmem)
 
     def run(o, d, rows, count_steps):
         m = o.shape[0]
@@ -72,7 +82,8 @@ def main():
             o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
         return pt._traverse_pallas(bvh, *packed, o, d, packet_rows=rows,
-                                   count_steps=count_steps, interpret=args.cpu)
+                                   count_steps=count_steps, interpret=args.cpu,
+                                   tris_in_vmem=tris_in_vmem)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

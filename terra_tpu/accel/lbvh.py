@@ -170,14 +170,29 @@ def _karras_tree(codes: np.ndarray):
     return left, right
 
 
-def build(geometry, leaf_size: int = DEFAULT_LEAF_SIZE) -> LBVH:
+def build(geometry, leaf_size: int | None = None) -> LBVH:
     """Host-side LBVH build from a Geometry (SURVEY.md §7 step 5).
 
     Uses the native C++ builder (terra_tpu.native) when available — the
     scene-build hot path stays native like the reference's (TerraBVH.c) —
-    with a vectorized NumPy fallback."""
+    with a vectorized NumPy fallback.
+
+    ``leaf_size=None`` auto-scales: the default leaf grows (in steps of 8,
+    the dense-MT chunk width) until the flat node tables fit the Pallas
+    traversal kernel's SMEM budget, so Sponza-class (250k-tri) scenes stay
+    on the fast kernel instead of the XLA fallback."""
     pos = np.asarray(geometry.positions)
     vidx = np.asarray(geometry.tri_vidx)
+    if leaf_size is None:
+        from . import pallas_traverse as _pt
+
+        leaf_size = DEFAULT_LEAF_SIZE
+        # node table bytes ~= (2L-1)*24 + max(L-1,1)*8 for L leaves
+        while leaf_size < 1024:
+            leaves = max((len(vidx) + leaf_size - 1) // leaf_size, 1)
+            if (2 * leaves - 1) * 24 + max(leaves - 1, 1) * 8 <= _pt.SMEM_NODE_BUDGET:
+                break
+            leaf_size += 8
 
     from .. import native
 

@@ -47,20 +47,22 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
     if opts.accelerator == Accelerator.BVH and scene.bvh is not None:
         from .accel import pallas_traverse, traverse as bvh_traverse
 
-        # Pallas ordered-stack kernel on TPU when the triangle table fits
-        # VMEM; XLA packet walk otherwise (and on CPU test meshes).
+        # Pallas ordered-stack kernel on TPU when the node table fits SMEM
+        # (triangles stay in HBM and are DMA'd per leaf, so the tri count
+        # is unbounded); XLA packet walk otherwise (and on CPU test meshes).
         use_pallas = (
             jax.default_backend() not in ("cpu",)
             and pallas_traverse.supported(scene.bvh)
         )
         if use_pallas:
             packed = pallas_traverse.pack_tables(
-                scene.bvh, *scene.geometry.corners()
+                scene.bvh, *scene.geometry.corners(), tris_in_vmem=False
             )
 
             def raycast(o, d):
                 o = o + d * intersect.RAY_OFFSET_DIR
-                return pallas_traverse.raycast(scene, o, d, packed=packed)
+                return pallas_traverse.raycast(scene, o, d, packed=packed,
+                                               use_dma=True)
 
             return raycast
 
