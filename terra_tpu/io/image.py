@@ -24,7 +24,9 @@ def srgb_decode(img: np.ndarray) -> np.ndarray:
 
 
 def save_image(path: str, img) -> None:
-    """Save a float image to PNG/JPG (clamped to [0,1], 8-bit) or .hdr.
+    """Save a float image to PNG/JPG/BMP/TGA (clamped to [0,1], 8-bit) or
+    .hdr — the same format set as the reference's vendored stb_image_write
+    (satellite/src/stb_image_write.h).
 
     Emits the reference's overflow warning when values exceed 1
     (Visualization.cpp:334-341).
