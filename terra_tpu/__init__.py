@@ -21,6 +21,7 @@ from .scene import (  # noqa: F401
     Camera,
     Geometry,
     Integrator,
+    Intersector,
     LightTable,
     MaterialTable,
     RenderOptions,

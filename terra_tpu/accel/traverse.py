@@ -65,7 +65,7 @@ def _sort_keys(o, d, scene_min, scene_max):
     return (octant << jnp.uint32(21)) | morton
 
 
-def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096):
+def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096, algo: str = "mt"):
     """o, d: (P2, P, 3). Returns (best_t, best_tri) of shape (P2, P)."""
     p2, p, _ = o.shape
     ni = bvh.num_internal
@@ -113,7 +113,7 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096):
         a = la[leaf_id]
         b = lb[leaf_id]
         c = lc[leaf_id]
-        valid, t = mt_grid_components(o, d, a, b, c)  # (P2, P, L)
+        valid, t = mt_grid_components(o, d, a, b, c, algo=algo)  # (P2, P, L)
         t = jnp.where(valid & at_leaf[:, None, None], t, T_FAR)
         t_best_l = jnp.min(t, axis=2)
         arg_l = jnp.argmin(t, axis=2)
@@ -134,7 +134,7 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096):
     best_i0 = jnp.zeros((p2, p), jnp.int32)
     if ni == 0:
         # single leaf: test it directly
-        valid, t = mt_grid_components(o, d, la[0][None], lb[0][None], lc[0][None])
+        valid, t = mt_grid_components(o, d, la[0][None], lb[0][None], lc[0][None], algo=algo)
         t = jnp.where(valid, t, T_FAR)
         best_t0 = jnp.min(t, axis=2)
         best_i0 = bvh.leaf_tri[0][jnp.argmin(t, axis=2)]
@@ -143,7 +143,7 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096):
     return best_t, best_i
 
 
-def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True) -> RayHit:
+def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True, algo: str = "mt") -> RayHit:
     """Closest-hit via stackless LBVH packet traversal. o, d: (N, 3).
 
     ``sort_rays`` reorders lanes by (direction octant, origin Morton) before
@@ -173,6 +173,7 @@ def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True)
         tri_a, tri_b, tri_c,
         o.reshape(p2, packet_size, 3),
         d.reshape(p2, packet_size, 3),
+        algo=algo,
     )
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]

@@ -15,7 +15,7 @@ import os
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
-from .scene import Accelerator, Camera, Integrator, RenderOptions, SamplingMethod, Tonemap
+from .scene import Accelerator, Camera, Integrator, Intersector, RenderOptions, SamplingMethod, Tonemap
 
 __all__ = ["OPTIONS", "Config", "load_config_file", "find_config_file"]
 
@@ -40,6 +40,7 @@ _SAMPLER = {
     "halton": SamplingMethod.HALTON,
 }
 _ACCEL = {"bvh": Accelerator.BVH, "brute": Accelerator.BRUTE}
+_INTERSECTOR = {"mt": Intersector.MT, "watertight": Intersector.WATERTIGHT}
 _INTEGRATOR = {
     "simple": Integrator.SIMPLE, "direct": Integrator.DIRECT,
     "direct-mis": Integrator.DIRECT_MIS, "direct_mis": Integrator.DIRECT_MIS,
@@ -70,6 +71,7 @@ OPTIONS: Dict[str, OptionSpec] = {
         OptionSpec("render_tonemap", "none|linear|reinhard|filmic|uncharted2", lambda s: _TONEMAP[s.lower()], Tonemap.NONE),
         OptionSpec("render_sampler", "random|stratified|halton", lambda s: _SAMPLER[s.lower()], SamplingMethod.RANDOM),
         OptionSpec("render_accelerator", "bvh|brute", lambda s: _ACCEL[s.lower()], Accelerator.BVH),
+        OptionSpec("render_intersector", "mt|watertight", lambda s: _INTERSECTOR[s.lower()], Intersector.MT),
         OptionSpec("render_integrator", "simple|direct|direct-mis|debug-*", lambda s: _INTEGRATOR[s.lower()], Integrator.DIRECT_MIS),
         OptionSpec("render_jitter", "Subpixel jitter amplitude", float, 0.0),
         OptionSpec("render_strata", "Strata per dimension (stratified)", int, 4),
@@ -118,6 +120,7 @@ class Config:
             samples_per_pixel=v["render_samples"], bounces=v["render_bounces"],
             integrator=v["render_integrator"], sampling_method=v["render_sampler"],
             accelerator=v["render_accelerator"], tonemap=v["render_tonemap"],
+            intersector=v["render_intersector"],
             subpixel_jitter=v["render_jitter"], strata=v["render_strata"],
             manual_exposure=v["render_exposure"], gamma=v["render_gamma"],
             samples_per_launch=v["render_samples_per_launch"],

@@ -6,10 +6,11 @@ Terra.c:851-878) with batched jnp implementations that map onto the VPU:
 
   * Moller-Trumbore ray/triangle (TerraGeometry.c:34-87 and the legacy path
     Terra.c:880-1020), fully vectorized over (rays x triangles).
-  * Wald2013-style watertight test (TerraGeometry.c:98-259) for use inside
-    the Pallas BVH traversal kernel; the f64 fallback of the reference
-    (TerraGeometry.c:204-208) is replaced by an epsilon-free sign-consistency
-    test in f32 (TPU has no cheap f64).
+  * Wald2013-style watertight test (TerraGeometry.c:98-259), selectable at
+    render time via ``RenderOptions.intersector`` (the runtime analogue of
+    the reference's compile-time switch, TerraGeometry.c:25-31); the f64
+    fallback of the reference (TerraGeometry.c:204-208) is replaced by an
+    epsilon-free sign-consistency test in f32 (TPU has no cheap f64).
   * A brute-force closest-hit sweep: for small scenes (Cornell-class) a
     dense rays-x-triangles test is the *fastest* TPU strategy — perfectly
     regular work with zero divergence — so it is a first-class accelerator
@@ -30,7 +31,10 @@ import numpy as np
 
 from .ops import math3
 
-__all__ = ["RayHit", "ray_aabb", "moller_trumbore", "raycast_brute", "RAY_OFFSET_DIR", "SURFACE_OFFSET_NORMAL"]
+__all__ = [
+    "RayHit", "ray_aabb", "moller_trumbore", "watertight_components",
+    "raycast_brute", "RAY_OFFSET_DIR", "SURFACE_OFFSET_NORMAL",
+]
 
 RAY_OFFSET_DIR = np.float32(1e-3)  # origin nudge along dir (Terra.c:1629)
 SURFACE_OFFSET_NORMAL = np.float32(1e-4)  # normal offset (Terra.c:1716)
@@ -124,6 +128,84 @@ def mt_components(oc, dc, ac, bc, cc, eps: float = 1e-4):
     return valid, t
 
 
+def watertight_components(oc, dc, ac, bc, cc, eps: float = 1e-4):
+    """Wald2013-style watertight ray/triangle test, component-wise.
+
+    The batched re-design of the reference's watertight kernel
+    (terra_ray_triangle_intersection_init/query, TerraGeometry.c:98-259):
+
+      * the per-ray shear transform of the reference's ``TerraRayState``
+        (TerraPrivate.h:114-120) — max-|d| axis to +Z, winding-preserving
+        kx/ky swap, shear constants — is recomputed inline from ``dc``
+        via branchless selects (no AoS ray-state struct on a SIMD machine);
+      * the 2D scaled barycentrics U, V, W get the paper's sign-consistency
+        edge test: a hit iff U, V, W carry no OPPOSING signs, so rays
+        through shared edges/vertices (where one of them is exactly 0)
+        hit at least one of the adjacent triangles — no cracks;
+      * the reference's double-precision fallback for tiny barycentrics
+        (TerraGeometry.c:204-208) is dropped: TPU has no cheap f64, and the
+        zero-tolerant sign test above already covers the exact-edge case
+        the fallback exists for (documented deviation).
+
+    Arguments/result match :func:`mt_components`: component tuples of
+    mutually broadcastable arrays; returns (valid, t).
+    """
+    ox, oy, oz = oc
+    dx, dy, dz = dc
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    m0 = (adx >= ady) & (adx >= adz)  # kz = x
+    m1 = (~m0) & (ady >= adz)  # kz = y; else kz = z
+
+    def perm(vx, vy, vz):
+        """Permute to (kx, ky, kz) = (kz+1, kz+2, kz) cyclic order."""
+        pz = jnp.where(m0, vx, jnp.where(m1, vy, vz))
+        px = jnp.where(m0, vy, jnp.where(m1, vz, vx))
+        py = jnp.where(m0, vz, jnp.where(m1, vx, vy))
+        return px, py, pz
+
+    dpx, dpy, dpz = perm(dx, dy, dz)
+    swap = dpz < 0.0  # preserve winding when the ray points down the axis
+    dpx, dpy = jnp.where(swap, dpy, dpx), jnp.where(swap, dpx, dpy)
+    sz = 1.0 / jnp.where(dpz != 0.0, dpz, 1.0)
+    sx = dpx * sz
+    sy = dpy * sz
+
+    def shear(vx, vy, vz):
+        """Translate to ray origin, permute, apply the 2D shear."""
+        px, py, pz = perm(vx - ox, vy - oy, vz - oz)
+        px, py = jnp.where(swap, py, px), jnp.where(swap, px, py)
+        return px - sx * pz, py - sy * pz, pz
+
+    def dop(p1, p2, q1, q2):
+        """p1*p2 - q1*q2 with zero-snapping: XLA contracts the expression
+        into an FMA whose rounding residual turns an exactly-cancelling
+        product pair into a tiny nonzero of arbitrary sign — which both
+        breaks the sign-consistency edge test and makes zero-area
+        (degenerate/padding) triangles "hit". Results within a few ulps of
+        full cancellation are treated as exact 0, restoring the watertight
+        guarantee (the reference instead falls back to f64 there,
+        TerraGeometry.c:204-208)."""
+        p = p1 * p2
+        q = q1 * q2
+        r = p - q
+        snap = jnp.abs(r) <= jnp.maximum(jnp.abs(p), jnp.abs(q)) * np.float32(4e-7)
+        return jnp.where(snap, 0.0, r)
+
+    axp, ayp, azp = shear(*ac)
+    bxp, byp, bzp = shear(*bc)
+    cxp, cyp, czp = shear(*cc)
+    u = dop(cxp, byp, cyp, bxp)
+    v = dop(axp, cyp, ayp, cxp)
+    w = dop(bxp, ayp, byp, axp)
+    any_neg = (u < 0.0) | (v < 0.0) | (w < 0.0)
+    any_pos = (u > 0.0) | (v > 0.0) | (w > 0.0)
+    det = u + v + w
+    t_scaled = (u * azp + v * bzp + w * czp) * sz
+    t = t_scaled / jnp.where(det != 0.0, det, 1.0)
+    valid = ~(any_neg & any_pos) & (det != 0.0) & (t > eps)
+    return valid, t
+
+
 def _comps(v, ray_axis: bool):
     """Split (..., 3) into broadcastable component tuples: rays get a
     trailing singleton tris-axis, triangles a leading singleton rays-axis."""
@@ -132,29 +214,33 @@ def _comps(v, ray_axis: bool):
     return (v[..., None, :, 0], v[..., None, :, 1], v[..., None, :, 2])
 
 
-def mt_grid_components(o, d, tri_a, tri_b, tri_c, eps: float = 1e-4):
-    """Dense (rays x tris) MT grid: o, d (..., N, 3) vs tri_* (..., TB, 3)
-    -> (valid, t) of shape (..., N, TB)."""
-    return mt_components(
+def mt_grid_components(o, d, tri_a, tri_b, tri_c, eps: float = 1e-4, algo: str = "mt"):
+    """Dense (rays x tris) intersection grid: o, d (..., N, 3) vs tri_*
+    (..., TB, 3) -> (valid, t) of shape (..., N, TB). ``algo`` selects the
+    kernel — "mt" (Moller-Trumbore) or "watertight" (Wald2013) — the
+    runtime analogue of the reference's compile-time algorithm switch
+    (TerraGeometry.c:25-31)."""
+    fn = watertight_components if algo == "watertight" else mt_components
+    return fn(
         _comps(o, True), _comps(d, True),
         _comps(tri_a, False), _comps(tri_b, False), _comps(tri_c, False),
         eps,
     )
 
 
-def _closest_hit_block(o, d, tri_a, tri_b, tri_c, base_idx):
+def _closest_hit_block(o, d, tri_a, tri_b, tri_c, base_idx, algo: str = "mt"):
     """Dense (chunk, TB) test; returns per-ray (best_t, best_local_idx).
 
     Uses min + argmin (NOT take_along_axis, which costs ~20ms/M lanes as a
     per-row gather on TPU)."""
-    valid, t = mt_grid_components(o, d, tri_a, tri_b, tri_c)
+    valid, t = mt_grid_components(o, d, tri_a, tri_b, tri_c, algo=algo)
     t = jnp.where(valid, t, T_FAR)
     best_t = jnp.min(t, axis=1)
     best = jnp.argmin(t, axis=1)
     return best_t, base_idx + best.astype(jnp.int32)
 
 
-def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 0, tri_block: int = 1024) -> RayHit:
+def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 0, tri_block: int = 1024, algo: str = "mt") -> RayHit:
     """Closest-hit over all triangles, chunked to bound memory.
 
     o, d : (N, 3) rays (origins already offset by the caller)
@@ -201,7 +287,7 @@ def raycast_brute(o, d, tri_a, tri_b, tri_c, ray_chunk: int = 0, tri_block: int 
         def scan_block(carry, blk):
             best_t, best_i = carry
             a_, b_, c_, base = blk
-            t_blk, i_blk = _closest_hit_block(co, cd, a_, b_, c_, base)
+            t_blk, i_blk = _closest_hit_block(co, cd, a_, b_, c_, base, algo)
             take = t_blk < best_t
             return (
                 jnp.where(take, t_blk, best_t),

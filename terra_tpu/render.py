@@ -44,14 +44,20 @@ EPS = np.float32(1e-4)
 def make_raycast_fn(scene: Scene, opts: RenderOptions):
     """Closest-hit raycast closure (terra_scene_raycast, Terra.c:1623-1657):
     offsets the origin by dir*1e-3 and dispatches on the accelerator."""
+    from .scene import Intersector
+
+    algo = "watertight" if opts.intersector == Intersector.WATERTIGHT else "mt"
     if opts.accelerator == Accelerator.BVH and scene.bvh is not None:
         from .accel import pallas_traverse, traverse as bvh_traverse
 
         # Pallas ordered-stack kernel on TPU when the node table fits SMEM
         # (triangles stay in HBM and are DMA'd per leaf, so the tri count
         # is unbounded); XLA packet walk otherwise (and on CPU test meshes).
+        # The Pallas kernel hard-codes MT (its VMEM tiles are laid out for
+        # the fused MT chain), so WATERTIGHT routes to the XLA packet walk.
         use_pallas = (
-            jax.default_backend() not in ("cpu",)
+            algo == "mt"
+            and jax.default_backend() not in ("cpu",)
             and pallas_traverse.supported(scene.bvh)
         )
         if use_pallas:
@@ -68,7 +74,7 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
 
         def raycast(o, d):
             o = o + d * intersect.RAY_OFFSET_DIR
-            return bvh_traverse.raycast(scene, o, d)
+            return bvh_traverse.raycast(scene, o, d, algo=algo)
 
         return raycast
 
@@ -76,7 +82,7 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
 
     def raycast(o, d):
         o = o + d * intersect.RAY_OFFSET_DIR
-        return intersect.raycast_brute(o, d, tri_a, tri_b, tri_c)
+        return intersect.raycast_brute(o, d, tri_a, tri_b, tri_c, algo=algo)
 
     return raycast
 

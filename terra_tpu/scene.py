@@ -134,6 +134,16 @@ class Accelerator(enum.IntEnum):
     BVH = 1
 
 
+class Intersector(enum.IntEnum):
+    """Ray/triangle intersection algorithm — the runtime analogue of the
+    reference's compile-time switch (TerraGeometry.c:25-31): Moller-Trumbore
+    (TerraGeometry.c:34-87) or Wald2013 watertight (TerraGeometry.c:98-259).
+    """
+
+    MT = 0
+    WATERTIGHT = 1
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["positions", "tri_vidx", "normals", "uvs", "mat_id", "obj_id"],
@@ -340,6 +350,10 @@ class RenderOptions:
     # Russian roulette start bounce. The reference applies RR from bounce 0
     # (Terra.c:1081-1091); raising this lowers variance for tiny scenes.
     rr_start_bounce: int = 0
+    # Ray/triangle algorithm (reference compile-time switch,
+    # TerraGeometry.c:25-31). WATERTIGHT guarantees no cracks along shared
+    # edges; MT is the default (matches the golden-test mirror).
+    intersector: Intersector = Intersector.MT
 
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)
