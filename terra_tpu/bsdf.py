@@ -17,6 +17,11 @@ Presets:
             proper rebuild of the reference's disabled rough-dielectric
             preset (TerraPresets.c:298-395).
   MIRROR  — perfect specular delta lobe (extension).
+  DISNEY  — full principled eval (TerraPresets.c:154-296; the reference
+            stubs every parameter to 0 and ships NO sample/pdf) plus an
+            importance sampler the reference lacks: a three-lobe mixture
+            (cosine diffuse / GTR2-aniso specular / GTR1 clearcoat) with
+            the matching mixture pdf.
 
 All functions are batched: attrs (N,8,3), directions (N,3).
 """
@@ -324,6 +329,95 @@ def _disney_eval(surface: Surface, wi, wo):
     return jnp.where(behind[..., None], 0.0, result)
 
 
+def _disney_lobe_probs(surface: Surface):
+    """Lobe pick probabilities (diffuse, GTR2 specular, GTR1 clearcoat).
+
+    The reference ships NO Disney sample/pdf (TerraPresets.c:154-296 is
+    eval-only and stubbed); this importance sampler is an extension. Any
+    positive mixture keeps the estimator unbiased — these weights roughly
+    track lobe energy: metals lose their diffuse term entirely
+    (TerraPresets.c:288 scales it by 1-metalness), clearcoat is a thin
+    0.25-weighted lobe (TerraPresets.c:294)."""
+    a = surface.attrs
+    metalness = jnp.clip(a[..., 4, 0], 0.0, 1.0)
+    clearcoat = jnp.clip(a[..., 3, 0], 0.0, 1.0)
+    p_clear = 0.25 * clearcoat / (1.0 + clearcoat)
+    p_spec_inner = math3.lerp(0.5, 1.0, metalness)
+    p_spec = (1.0 - p_clear) * p_spec_inner
+    p_diff = (1.0 - p_clear) * (1.0 - p_spec_inner)
+    return p_diff, p_spec, p_clear
+
+
+def _disney_alphas(surface: Surface):
+    """Anisotropic GTR2 alphas + GTR1 clearcoat alpha (same formulas as
+    _disney_eval, TerraPresets.c:266-284)."""
+    a = surface.attrs
+    roughness = jnp.clip(a[..., 4, 1], 0.0, 1.0)
+    anisotropic = jnp.clip(a[..., 5, 0], 0.0, 1.0)
+    clearcoat_gloss = jnp.clip(a[..., 3, 1], 0.0, 1.0)
+    aspect = jnp.sqrt(jnp.maximum(1.0 - anisotropic * 0.9, 1e-4))
+    ax = jnp.maximum(1e-3, roughness * roughness / aspect)
+    ay = jnp.maximum(1e-3, roughness * roughness * aspect)
+    a_clear = math3.lerp(0.1, 0.001, clearcoat_gloss)
+    return ax, ay, a_clear
+
+
+def _disney_sample(surface: Surface, e0, e1, e2, wo):
+    """Three-lobe mixture sample: e2 picks the lobe, (e0, e1) drive it.
+
+    GTR2-aniso half vector: h ∝ sqrt(e0/(1-e0))·(ax cosφ X + ay sinφ Z) + N
+    (Burley 2012 course notes, eq. for the aniso NDF the eval uses).
+    GTR1: cos²θ = (1 - a²^(1-e0)) / (1 - a²)."""
+    p_diff, p_spec, _ = _disney_lobe_probs(surface)
+    ax, ay, a_clear = _disney_alphas(surface)
+    n, tx, bz = surface.normal, surface.tangent, surface.bitangent
+
+    wi_d = _cosine_hemisphere(surface, e0, e1)
+
+    phi = 2.0 * PI * e1
+    tanv = jnp.sqrt(e0 / jnp.maximum(1.0 - e0, 1e-7))
+    hx = tanv * ax * jnp.cos(phi)
+    hz = tanv * ay * jnp.sin(phi)
+    h_spec = math3.normalize(
+        tx * hx[..., None] + n + bz * hz[..., None]
+    )
+    wi_s = math3.normalize(math3.reflect(wo, h_spec))
+
+    a2 = a_clear * a_clear
+    cos2 = (1.0 - jnp.power(a2, 1.0 - e0)) / jnp.maximum(1.0 - a2, 1e-7)
+    cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos2))
+    local_h = jnp.stack(
+        [sin_t * jnp.cos(phi), cos_t, sin_t * jnp.sin(phi)], axis=-1
+    )
+    h_clear = math3.normalize(math3.to_world(local_h, tx, n, bz))
+    wi_c = math3.normalize(math3.reflect(wo, h_clear))
+
+    wi = jnp.where(
+        (e2 < p_diff)[..., None], wi_d,
+        jnp.where((e2 < p_diff + p_spec)[..., None], wi_s, wi_c),
+    )
+    return wi
+
+
+def _disney_pdf(surface: Surface, wi, wo):
+    """Mixture pdf for ANY direction (not just the sampled lobe): required
+    for the MIS light-strategy weights. pdf_h→pdf_wi Jacobian = 1/(4 h·wo).
+    GTR2 has infinite tails so the mixture is > 0 over the hemisphere
+    wherever eval is nonzero."""
+    p_diff, p_spec, p_clear = _disney_lobe_probs(surface)
+    ax, ay, a_clear = _disney_alphas(surface)
+    n = surface.normal
+    h = math3.normalize(wi + wo)
+    noh = jnp.maximum(math3.dot(n, h), 1e-6)
+    how = jnp.maximum(math3.dot(h, wo), 1e-6)
+    ds = _gtr2_aniso(noh, math3.dot(h, surface.tangent), math3.dot(h, surface.bitangent), ax, ay)
+    dr = _gtr1(noh, a_clear)
+    pdf_spec = ds * noh / (4.0 * how)
+    pdf_clear = dr * noh / (4.0 * how)
+    return p_diff * _diffuse_pdf(surface, wi) + p_spec * pdf_spec + p_clear * pdf_clear
+
+
 # ------------------------------------------------------------------- mirror
 
 def _mirror_sample(surface: Surface, wo):
@@ -383,7 +477,7 @@ def sample(surface: Surface, e0, e1, e2, wo, present=ALL_TYPES):
     if BSDFType.MIRROR in present:
         results[BSDFType.MIRROR] = _mirror_sample(surface, wo)
     if BSDFType.DISNEY in present:
-        results[BSDFType.DISNEY] = _cosine_hemisphere(surface, e0, e1)
+        results[BSDFType.DISNEY] = _disney_sample(surface, e0, e1, e2, wo)
     wi = _select(surface.bsdf_type, results, present)
     if BSDFType.PHONG in present:
         aux = jnp.where(surface.bsdf_type == BSDFType.PHONG, lobe, 0.0)
@@ -405,7 +499,7 @@ def pdf(surface: Surface, wi, wo, aux, present=ALL_TYPES):
     if BSDFType.MIRROR in present:
         results[BSDFType.MIRROR] = _mirror_pdf(surface, wi, wo)
     if BSDFType.DISNEY in present:
-        results[BSDFType.DISNEY] = _diffuse_pdf(surface, wi)
+        results[BSDFType.DISNEY] = _disney_pdf(surface, wi, wo)
     return _select(surface.bsdf_type, results, present)
 
 

@@ -131,3 +131,69 @@ def test_mirror_sample_is_reflection():
     np.testing.assert_allclose(
         np.asarray(f * (nol / pdf)[:, None])[:, 0], 0.9, atol=1e-4
     )
+
+
+# ------------------------------------------------------------------- disney
+
+def _disney_setup(metal, rough, clearcoat=0.0, aniso=0.0):
+    def setup(a):
+        a[:, 0] = (0.8, 0.6, 0.4)        # base color
+        a[:, 1] = (0.5, 0.0, 0.0)        # specular, tint
+        a[:, 3] = (clearcoat, 0.8, 0.0)  # clearcoat, gloss
+        a[:, 4] = (metal, rough, 0.0)    # metalness, roughness
+        a[:, 5] = (aniso, 0.0, 0.0)      # anisotropic, subsurface
+    return setup
+
+
+@pytest.mark.parametrize("metal,rough,clearcoat", [
+    (0.0, 0.6, 0.0), (1.0, 0.3, 0.0), (0.4, 0.5, 0.8),
+])
+def test_disney_pdf_integrates_to_one(metal, rough, clearcoat):
+    """The Disney mixture pdf must integrate to ~1 over the hemisphere:
+    E[pdf/uniform_pdf] with uniform-hemisphere wi."""
+    n = 1 << 16
+    surf = _make_surface(n, tt.BSDFType.DISNEY, _disney_setup(metal, rough, clearcoat))
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    v[:, 1] = np.abs(v[:, 1])
+    wi = jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True))
+    present = (int(tt.BSDFType.DISNEY),)
+    pdf = np.asarray(bsdf.pdf(surf, wi, _wo(n), jnp.zeros(n), present))
+    assert np.isfinite(pdf).all() and (pdf >= 0).all()
+    integral = (pdf * 2 * np.pi).mean()
+    # GTR tails are heavy; MC error + below-horizon specular mass allow ~10%
+    assert abs(integral - 1.0) < 0.1, integral
+
+
+@pytest.mark.parametrize("metal,rough", [(0.0, 0.7), (1.0, 0.4), (0.5, 0.25)])
+def test_disney_furnace_bounded(metal, rough):
+    """E[f * NoL / pdf] stays bounded and positive (consistent estimator)."""
+    n = 1 << 15
+    surf = _make_surface(n, tt.BSDFType.DISNEY, _disney_setup(metal, rough, clearcoat=0.5))
+    wo = _wo(n)
+    e0, e1, e2 = _uniforms(n, 5)
+    present = (int(tt.BSDFType.DISNEY),)
+    wi, aux = bsdf.sample(surf, e0, e1, e2, wo, present)
+    pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux, present), 1e-6)
+    f = bsdf.eval_f(surf, wi, wo, present)
+    nol = jnp.maximum(math3.dot(surf.normal, wi), 0.0)
+    est = np.asarray(f * nol[:, None] / pdf[:, None])
+    assert np.isfinite(est).all()
+    mean = est.mean(axis=0)
+    assert (mean > 0.01).all(), mean
+    assert (mean < 2.0).all(), mean  # reflectance estimate can't exceed ~1 + tail noise
+
+
+def test_disney_sample_prefers_specular_when_metal():
+    """A metallic smooth surface concentrates samples near the mirror
+    direction (importance sampling actually follows the GTR2 lobe)."""
+    n = 1 << 14
+    surf = _make_surface(n, tt.BSDFType.DISNEY, _disney_setup(1.0, 0.2))
+    wo = _wo(n)
+    e0, e1, e2 = _uniforms(n, 8)
+    present = (int(tt.BSDFType.DISNEY),)
+    wi, _ = bsdf.sample(surf, e0, e1, e2, wo, present)
+    wr = math3.reflect(wo, surf.normal)
+    cos_to_mirror = np.asarray(math3.dot(wi, wr))
+    # diffuse-only sampling gives E[cos to mirror] ~ 0.37; lobe-following much higher
+    assert cos_to_mirror.mean() > 0.7, cos_to_mirror.mean()
