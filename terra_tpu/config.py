@@ -23,6 +23,10 @@ CONFIG_SEARCH_PATHS = ["./", "../", "data/"]  # Config.cpp:115-124
 DEFAULT_CONFIG_NAME = "satellite.config"
 
 
+def _parse_bool(s: str) -> bool:
+    return str(s).strip().lower() in ("1", "true", "yes", "on")
+
+
 def _parse_float3(s: str) -> Tuple[float, float, float]:
     parts = s.replace("(", " ").replace(")", " ").replace(",", " ").split()
     vals = [float(p) for p in parts]
@@ -82,6 +86,8 @@ OPTIONS: Dict[str, OptionSpec] = {
         OptionSpec("camera_up", "Camera up vector", _parse_float3, (0.0, 1.0, 0.0)),
         OptionSpec("camera_fov", "Vertical field of view (degrees)", float, 45.0),
         OptionSpec("envmap_color", "Constant environment color", _parse_float3, (0.0, 0.0, 0.0)),
+        OptionSpec("render_env_on_miss", "Add env radiance on miss (reference disables it, Terra.c:1056)", _parse_bool, False),
+        OptionSpec("render_env_nee", "Importance-sample the env as a light (extension)", _parse_bool, False),
         OptionSpec("scene", "Scene OBJ path", str, ""),
         OptionSpec("seed", "RNG seed", int, 0),
         # kept for config-file compatibility; scheduling is XLA's job now
@@ -125,6 +131,7 @@ class Config:
             manual_exposure=v["render_exposure"], gamma=v["render_gamma"],
             samples_per_launch=v["render_samples_per_launch"],
             samples_per_lane=v["render_samples_per_lane"],
+            env_on_miss=v["render_env_on_miss"], env_nee=v["render_env_nee"],
         )
         return opts.replace(**overrides) if overrides else opts
 

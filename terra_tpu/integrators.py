@@ -98,6 +98,62 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     return contrib, jnp.where(visible, weight, 0.0), ls
 
 
+def _nee_env_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
+    """Environment next-event estimation (extension; see envmap.py): draw a
+    direction from the env proposal, require the shadow ray to escape the
+    scene, weight by the solid-angle pdf (MIS power-2 vs the BSDF pdf when
+    ``want_weight``). Only active when ctx['env_dist'] is set."""
+    from . import envmap
+
+    scene: Scene = ctx["scene"]
+    rng = ctx["rng"]
+    raycast = ctx["raycast"]
+    env_dist = ctx["env_dist"]
+
+    e1 = rng(bounce, S.ENV_U)
+    e2 = rng(bounce, S.ENV_V)
+    wi, env_pdf = envmap.sample(env_dist, e1, e2)
+
+    nol = math3.dot(wi, surf.normal)
+    o_sh, d_sh = _shadow_ray(surf, wi)
+    hit = raycast(o_sh, d_sh)
+    visible = (~hit.hit) & (nol > 0.0) & (env_pdf > 0.0)
+
+    f = bsdf.eval_f(surf, wi, wo, ctx["present"])
+    Le = envmap.radiance(scene, wi)
+
+    if want_weight:
+        bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
+        weight = (env_pdf * env_pdf) / jnp.maximum(
+            env_pdf * env_pdf + bsdf_pdf * bsdf_pdf, np.float32(1e-20)
+        )
+    else:
+        weight = jnp.ones_like(env_pdf)
+
+    denom = jnp.where(visible, env_pdf, 1.0)  # grad-safe masked division
+    contrib = Le * f * (nol * weight / denom)[..., None]
+    return jnp.where(visible[..., None], contrib, 0.0)
+
+
+def _mis_bsdf_env_term(ctx, surf: Surface, wo, wi, f, bsdf_pdf, hit):
+    """Env contribution of the MIS BSDF strategy: when the strategy ray
+    escapes, add env radiance MIS-weighted against the env-NEE pdf (the
+    standard counterpart of _nee_env_strategy; covers specular lobes)."""
+    from . import envmap
+
+    scene: Scene = ctx["scene"]
+    env_pdf = envmap.pdf(ctx["env_dist"], wi)
+    nol = math3.dot(wi, surf.normal)
+    ok = (~hit.hit) & (bsdf_pdf > 0.0) & (nol > 0.0)
+    weight = (bsdf_pdf * bsdf_pdf) / jnp.maximum(
+        bsdf_pdf * bsdf_pdf + env_pdf * env_pdf, np.float32(1e-20)
+    )
+    Le = envmap.radiance(scene, wi)
+    denom = jnp.where(ok, bsdf_pdf, 1.0)
+    contrib = Le * f * (nol * weight / denom)[..., None]
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
 def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
     """BSDF-sampling strategy of DIRECT_MIS (Terra.c:1516-1583): sample the
     BSDF (independent streams from the path continuation), trace it, and if
@@ -140,6 +196,8 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
     denom = jnp.where(ok, bsdf_pdf, 1.0)  # grad-safe masked division
     contrib = hit_surf.emissive * f * (nol * weight / denom)[..., None]
     contrib = jnp.where(ok[..., None], contrib, 0.0)
+    if ctx.get("env_dist") is not None:
+        contrib = contrib + _mis_bsdf_env_term(ctx, surf, wo, wi, f, bsdf_pdf, hit)
     return contrib, jnp.where(ok, weight, 0.0)
 
 
@@ -148,6 +206,8 @@ def _integrate_direct(ctx, surf: Surface, wo, throughput, bounce):
     facing = (math3.dot(wo, surf.normal) > 0.0) & (bounce == 0)
     Lo = jnp.where(facing[..., None], surf.emissive, 0.0)
     contrib, _, _ = _nee_light_strategy(ctx, surf, wo, bounce, want_weight=False, aux=None)
+    if ctx.get("env_dist") is not None:
+        contrib = contrib + _nee_env_strategy(ctx, surf, wo, bounce, want_weight=False, aux=None)
     return (Lo + contrib) * throughput
 
 
@@ -166,7 +226,10 @@ def _integrate_direct_mis(ctx, surf: Surface, wo, throughput, bounce):
     _, aux = bsdf.sample(surf, e0, e1, e2, wo, ctx["present"])
     light_c, _, ls = _nee_light_strategy(ctx, surf, wo, bounce, want_weight=True, aux=aux)
     bsdf_c, _ = _mis_bsdf_strategy(ctx, surf, wo, bounce, ls)
-    return (Lo + light_c + bsdf_c) * throughput
+    Lo = Lo + light_c + bsdf_c
+    if ctx.get("env_dist") is not None:
+        Lo = Lo + _nee_env_strategy(ctx, surf, wo, bounce, want_weight=True, aux=aux)
+    return Lo * throughput
 
 
 def _integrate_debug_mono(ctx, surf, wo, throughput, bounce):

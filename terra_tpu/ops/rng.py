@@ -97,6 +97,8 @@ class PathStreams:
     MIS_E0 = 10         # mis bsdf-strategy sample e1 (Terra.c:1447)
     MIS_E1 = 11         # mis bsdf-strategy sample e2 (Terra.c:1448)
     MIS_E2 = 12         # mis bsdf-strategy sample e3 (Terra.c:1449)
+    ENV_U = 13          # env-NEE sample u (extension: the reference
+    ENV_V = 14          #   built the 2D env dist but never drew from it)
 
 
 def _pack_counter(sample_idx, bounce, stream):

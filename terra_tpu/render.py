@@ -89,12 +89,19 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
 
 def _env_radiance(scene: Scene, d):
     """Environment attribute eval on miss (Terra.c:1054)."""
-    const = jnp.broadcast_to(scene.env_value, d.shape)
-    if scene.textures.num_textures == 0:
-        return const
-    safe_id = jnp.maximum(scene.env_tex, 0)
-    tex = textures_mod.sample_latlong(scene.textures, jnp.broadcast_to(safe_id, d.shape[:-1]), d)
-    return jnp.where(scene.env_tex >= 0, tex, const)
+    from . import envmap
+
+    return envmap.radiance(scene, d)
+
+
+def _make_env_dist(scene: Scene, opts: RenderOptions):
+    """Env-NEE proposal distribution, or None when the feature is off
+    (built once per trace; XLA hoists it out of the bounce loop)."""
+    if not opts.env_nee:
+        return None
+    from . import envmap
+
+    return envmap.build_distribution(scene)
 
 
 def _pixel_jitter(opts: RenderOptions, key, pixel_idx, sample_idx):
@@ -127,7 +134,7 @@ def _pixel_jitter(opts: RenderOptions, key, pixel_idx, sample_idx):
 _CONTINUATION_STREAMS = (S.BSDF_E0, S.BSDF_E1, S.BSDF_E2, S.ROULETTE)
 
 
-def _streams_for(integrator) -> tuple:
+def _streams_for(integrator, env_nee: bool = False) -> tuple:
     from .scene import Integrator as I
 
     integ = I(integrator)
@@ -137,6 +144,8 @@ def _streams_for(integrator) -> tuple:
         extra = (S.MIS_E0, S.MIS_E1, S.MIS_E2, S.LIGHT_PICK, S.LIGHT_U, S.LIGHT_V)
     else:
         extra = ()
+    if env_nee and integ in (I.DIRECT, I.DIRECT_MIS):
+        extra = extra + (S.ENV_U, S.ENV_V)
     return _CONTINUATION_STREAMS + extra
 
 
@@ -149,7 +158,8 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
     integrator = make_integrator(opts.integrator)
     tables = build_shade_tables(scene)
     present = scene.materials.types_present
-    streams = _streams_for(opts.integrator)
+    streams = _streams_for(opts.integrator, opts.env_nee)
+    env_dist = _make_env_dist(scene, opts)
 
     n = o.shape[0]
     init = dict(
@@ -181,12 +191,17 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         if opts.env_on_miss:
             env = _env_radiance(scene, d)
             miss_mask = active & ~hit.hit
+            if opts.env_nee:
+                # env-NEE covers direct env light at every shaded vertex;
+                # the miss add stays only for camera rays (bounce 0) to
+                # avoid double counting.
+                miss_mask = miss_mask & (bounce == 0)
             Lo = Lo + jnp.where(miss_mask[..., None], throughput * env, 0.0)
         active = active & hit.hit
 
         ctx = dict(
             scene=scene, rng=rng, raycast=raycast, ray_origin=o,
-            tables=tables, present=present,
+            tables=tables, present=present, env_dist=env_dist,
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
@@ -250,7 +265,8 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
 
     tables = build_shade_tables(scene)
     present = scene.materials.types_present
-    streams = _streams_for(opts.integrator)
+    streams = _streams_for(opts.integrator, opts.env_nee)
+    env_dist = _make_env_dist(scene, opts)
     n = pixel_idx.shape[0]
 
     def new_ray(sample_idx):
@@ -297,12 +313,14 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         if opts.env_on_miss:
             env = _env_radiance(scene, d)
             miss_mask = active & ~hit.hit
+            if opts.env_nee:
+                miss_mask = miss_mask & (bounce == 0)
             lo_sample = lo_sample + jnp.where(miss_mask[..., None], throughput * env, 0.0)
         alive = active & hit.hit
 
         ctx = dict(
             scene=scene, rng=rng, raycast=raycast, ray_origin=o,
-            tables=tables, present=present,
+            tables=tables, present=present, env_dist=env_dist,
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         lo_sample = lo_sample + jnp.where(alive[..., None], radiance, 0.0)

@@ -354,6 +354,15 @@ class RenderOptions:
     # TerraGeometry.c:25-31). WATERTIGHT guarantees no cracks along shared
     # edges; MT is the default (matches the golden-test mirror).
     intersector: Intersector = Intersector.MT
+    # Environment next-event estimation (extension; the reference built the
+    # 2D env distribution but never used it, Terra.c:811-846). When on, the
+    # DIRECT/DIRECT_MIS integrators importance-sample the environment as a
+    # light, and the miss-env add (env_on_miss) applies at bounce 0 only to
+    # avoid double counting. DIRECT_MIS also adds the env through its
+    # MIS-weighted BSDF strategy (covers specular lobes); with plain DIRECT
+    # the env seen via delta (MIRROR) lobes is not recoverable by NEE —
+    # use DIRECT_MIS for mirror + env scenes.
+    env_nee: bool = False
 
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)
