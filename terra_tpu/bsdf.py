@@ -34,9 +34,9 @@ from .ops import math3
 from .scene import ATTR, BSDFType
 from .surface import Surface
 
-__all__ = ["sample", "pdf", "eval_f", "NUM_BSDF_TYPES"]
+__all__ = ["sample", "pdf", "eval_f", "continuation_factors", "NUM_BSDF_TYPES"]
 
-NUM_BSDF_TYPES = 5
+NUM_BSDF_TYPES = 6
 PI = np.float32(np.pi)
 INV_PI = np.float32(1.0 / np.pi)
 EPS = np.float32(1e-4)
@@ -443,6 +443,79 @@ def _mirror_eval(surface: Surface, wi, wo):
     return jnp.where(aligned[..., None], color / nol[..., None], 0.0)
 
 
+# -------------------------------------------------------------------- glass
+
+def _glass_geometry(surface: Surface, wo):
+    """Shared dielectric geometry (rebuild of the reference's disabled
+    perfect-glass preset, TerraPresets.c:399-449): side-aware normal, Snell
+    cos_t, TIR flag and the unpolarized Schlick Fresnel R.
+
+    entering = ray arrives from the front side (reference flips n1/n2 and
+    the normal when dot(normal, incident) > 0, TerraPresets.c:406-414).
+    Returns (n_eff, refl, trans, R, tir)."""
+    n = surface.normal
+    ior = jnp.maximum(surface.ior, 1.0 + 1e-4)
+    now = math3.dot(n, wo)
+    entering = now > 0.0
+    n_eff = jnp.where(entering[..., None], n, -n)
+    cos_i = jnp.abs(now)
+    eta = jnp.where(entering, 1.0 / ior, ior)  # n1/n2
+    refl = math3.normalize(math3.reflect(wo, n_eff))
+    cos_t2 = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = cos_t2 < 0.0
+    cos_t = jnp.sqrt(jnp.maximum(cos_t2, 0.0))
+    # Schlick with t = 1 - (n1<=n2 ? cos_i : cos_t) (TerraPresets.c:430-433)
+    tbase = jnp.where(eta <= 1.0, cos_i, cos_t)
+    r0 = (1.0 - ior) / (1.0 + ior)
+    r0 = r0 * r0
+    R = r0 + (1.0 - r0) * _schlick_weight(tbase)
+    R = jnp.where(tir, 1.0, jnp.clip(R, 0.0, 1.0))
+    # Transmitted direction (TerraPresets.c:441-446): t = eta*i +
+    # (eta*cos_i - cos_t)*n with i = -wo and n against the incident ray.
+    trans = math3.normalize(
+        -wo * eta[..., None] + n_eff * (eta * cos_i - cos_t)[..., None]
+    )
+    trans = jnp.where(tir[..., None], refl, trans)
+    return n_eff, refl, trans, R, tir
+
+
+def _glass_sample(surface: Surface, e2, wo):
+    """Fresnel lobe roulette (TerraPresets.c:436-448): reflect with
+    probability R (always under TIR), else refract."""
+    _, refl, trans, R, _ = _glass_geometry(surface, wo)
+    take_refl = e2 < R
+    return jnp.where(take_refl[..., None], refl, trans)
+
+
+def _glass_match(surface: Surface, wi, wo):
+    """(R-weight of the matched lobe, matched?) for an arbitrary direction:
+    delta lobes match by alignment like MIRROR."""
+    _, refl, trans, R, tir = _glass_geometry(surface, wo)
+    aligned_r = math3.dot(wi, refl) > (1.0 - 1e-5)
+    aligned_t = (~tir) & (math3.dot(wi, trans) > (1.0 - 1e-5)) & ~aligned_r
+    w = jnp.where(aligned_r, R, jnp.where(aligned_t, 1.0 - R, 0.0))
+    return w, aligned_r | aligned_t
+
+
+def _glass_pdf(surface: Surface, wi, wo):
+    """pdf of the lobe roulette: R on the reflection ray, 1-R on the
+    transmission ray, 0 elsewhere (the reference returns state->fresnel,
+    TerraPresets.c:451-453)."""
+    w, _ = _glass_match(surface, wi, wo)
+    return w
+
+
+def _glass_eval(surface: Surface, wi, wo):
+    """eval * |NoL| / pdf must equal the tint (the reference's shade returns
+    albedo * fresnel with weight = fresnel, TerraPresets.c:455-458), so
+    eval = tint * lobe_weight / |NoL| on the two delta rays, 0 elsewhere.
+    |NoL| (not NoL) because transmission crosses the surface."""
+    color = surface.attrs[..., ATTR.GLASS_COLOR, :]
+    w, matched = _glass_match(surface, wi, wo)
+    anol = jnp.maximum(jnp.abs(math3.dot(surface.normal, wi)), 1e-6)
+    return jnp.where(matched[..., None], color * (w / anol)[..., None], 0.0)
+
+
 # ----------------------------------------------------------------- dispatch
 
 ALL_TYPES = tuple(range(NUM_BSDF_TYPES))
@@ -478,6 +551,8 @@ def sample(surface: Surface, e0, e1, e2, wo, present=ALL_TYPES):
         results[BSDFType.MIRROR] = _mirror_sample(surface, wo)
     if BSDFType.DISNEY in present:
         results[BSDFType.DISNEY] = _disney_sample(surface, e0, e1, e2, wo)
+    if BSDFType.GLASS in present:
+        results[BSDFType.GLASS] = _glass_sample(surface, e2, wo)
     wi = _select(surface.bsdf_type, results, present)
     if BSDFType.PHONG in present:
         aux = jnp.where(surface.bsdf_type == BSDFType.PHONG, lobe, 0.0)
@@ -500,6 +575,8 @@ def pdf(surface: Surface, wi, wo, aux, present=ALL_TYPES):
         results[BSDFType.MIRROR] = _mirror_pdf(surface, wi, wo)
     if BSDFType.DISNEY in present:
         results[BSDFType.DISNEY] = _disney_pdf(surface, wi, wo)
+    if BSDFType.GLASS in present:
+        results[BSDFType.GLASS] = _glass_pdf(surface, wi, wo)
     return _select(surface.bsdf_type, results, present)
 
 
@@ -516,4 +593,22 @@ def eval_f(surface: Surface, wi, wo, present=ALL_TYPES):
         results[BSDFType.MIRROR] = _mirror_eval(surface, wi, wo)
     if BSDFType.DISNEY in present:
         results[BSDFType.DISNEY] = _disney_eval(surface, wi, wo)
+    if BSDFType.GLASS in present:
+        results[BSDFType.GLASS] = _glass_eval(surface, wi, wo)
     return _select(surface.bsdf_type, results, present)
+
+
+def continuation_factors(surface: Surface, wi, present=ALL_TYPES):
+    """Per-lane (cos_factor, offset_sign) for the path-continuation update
+    (Terra.c:1075-1093). Non-transmissive lanes keep the reference's signed
+    N.wi and +normal origin offset; GLASS lanes use |N.wi| (the ray legally
+    crosses the surface) and offset the new origin to the transmitted side.
+    offset_sign is None when the scene has no transmissive material, so
+    existing programs compile unchanged."""
+    nol = math3.dot(surface.normal, wi)
+    if BSDFType.GLASS not in present:
+        return nol, None
+    is_glass = surface.bsdf_type == BSDFType.GLASS
+    cos_f = jnp.where(is_glass, jnp.abs(nol), nol)
+    sign = jnp.where(is_glass & (nol < 0.0), np.float32(-1.0), np.float32(1.0))
+    return cos_f, sign

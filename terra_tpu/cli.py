@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from typing import List, Optional
 
@@ -34,6 +35,23 @@ from .scene import Accelerator, commit
 from .checkpoint import load_render_state, save_render_state
 
 log = logging.getLogger("terra_tpu")
+
+
+def _autoload_scene_config(cfg: Config) -> Optional[str]:
+    """Per-scene ``<name>.config`` autoload (Scene.cpp:121-128): when a scene
+    OBJ is selected, apply a config file named after it in the same
+    directory. The scene path itself is pinned (a per-scene config cannot
+    redirect to another scene). Returns the loaded path or None."""
+    scene_path = cfg.get("scene")
+    if not scene_path:
+        return None
+    p = os.path.splitext(scene_path)[0] + ".config"
+    if not os.path.exists(p):
+        return None
+    log.info("loading per-scene config %s", p)
+    load_config_file(p, cfg)
+    cfg.set("scene", scene_path)
+    return p
 
 
 def _build_scene(cfg: Config, args):
@@ -75,6 +93,7 @@ def cmd_render(args) -> int:
         load_config_file(config_path, cfg)
     if args.scene:
         cfg.set("scene", args.scene)
+    _autoload_scene_config(cfg)  # before CLI flags so explicit flags win
     if args.width:
         cfg.set("width", str(args.width))
     if args.height:
@@ -128,16 +147,71 @@ def cmd_opt_list(_args) -> int:
     return 0
 
 
+_CONSOLE_COMMANDS = [
+    "clear", "exit", "help", "load", "loop", "mesh", "opt", "quit",
+    "reload", "resize", "save", "stats", "step",
+]
+_CONSOLE_SUBCOMMANDS = {
+    "opt": ["list", "load", "reset", "save", "set"],
+    "mesh": ["list", "move"],
+}
+
+
+def _setup_readline():
+    """Command history + tab completion for the console — the reference
+    console's history/completion (Console.cpp). No-op without readline."""
+    try:
+        import readline
+    except ImportError:
+        return
+    import atexit
+
+    histfile = os.path.expanduser("~/.terra_tpu_history")
+    try:
+        readline.read_history_file(histfile)
+    except OSError:
+        pass
+    atexit.register(lambda: _write_history(readline, histfile))
+
+    def completer(text, state):
+        buf = readline.get_line_buffer()
+        parts = buf.split()
+        at_first = len(parts) == 0 or (len(parts) == 1 and not buf.endswith(" "))
+        if at_first:
+            options = [c + " " for c in _CONSOLE_COMMANDS if c.startswith(text)]
+        elif parts[0] in _CONSOLE_SUBCOMMANDS:
+            options = [
+                s + " " for s in _CONSOLE_SUBCOMMANDS[parts[0]] if s.startswith(text)
+            ]
+        else:
+            options = []
+        return options[state] if state < len(options) else None
+
+    readline.set_completer(completer)
+    readline.parse_and_bind("tab: complete")
+
+
+def _write_history(readline_mod, histfile):
+    try:
+        readline_mod.set_history_length(1000)
+        readline_mod.write_history_file(histfile)
+    except OSError:
+        pass
+
+
 def cmd_console(args) -> int:
     """Interactive console with the reference's command set
     (App.cpp:30-49): clear help load reload step loop(passes) save opt
-    resize stats."""
+    resize stats — plus readline history and tab completion
+    (Console.cpp's terminal niceties)."""
     cfg = Config()
     if args.scene:
         cfg.set("scene", args.scene)
+        _autoload_scene_config(cfg)
     scene, cam = (None, None)
     film: Optional[Film] = None
     seed = 0
+    _setup_readline()
 
     def ensure_scene():
         nonlocal scene, cam
@@ -164,7 +238,9 @@ def cmd_console(args) -> int:
                       "opt list | opt set <k> <v> | opt load <path> | opt save <path> | "
                       "resize <w> <h> | stats | clear | exit")
             elif cmd == "load":
-                cfg.set("scene", rest[0]) if rest else None
+                if rest:
+                    cfg.set("scene", rest[0])
+                    _autoload_scene_config(cfg)
                 scene = None
                 ensure_scene()
                 film = None

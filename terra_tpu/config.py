@@ -15,7 +15,7 @@ import os
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
-from .scene import Accelerator, Camera, Integrator, Intersector, RenderOptions, SamplingMethod, Tonemap
+from .scene import Accelerator, Camera, Integrator, Intersector, LightPick, RenderOptions, SamplingMethod, Tonemap
 
 __all__ = ["OPTIONS", "Config", "load_config_file", "find_config_file"]
 
@@ -45,6 +45,7 @@ _SAMPLER = {
 }
 _ACCEL = {"bvh": Accelerator.BVH, "brute": Accelerator.BRUTE}
 _INTERSECTOR = {"mt": Intersector.MT, "watertight": Intersector.WATERTIGHT}
+_LIGHT_PICK = {"uniform": LightPick.UNIFORM, "area": LightPick.AREA}
 _INTEGRATOR = {
     "simple": Integrator.SIMPLE, "direct": Integrator.DIRECT,
     "direct-mis": Integrator.DIRECT_MIS, "direct_mis": Integrator.DIRECT_MIS,
@@ -80,7 +81,11 @@ OPTIONS: Dict[str, OptionSpec] = {
         OptionSpec("render_jitter", "Subpixel jitter amplitude", float, 0.0),
         OptionSpec("render_strata", "Strata per dimension (stratified)", int, 4),
         OptionSpec("render_samples_per_launch", "spp per device launch (0=all)", int, 0),
+        # Default 8 here vs 1 in RenderOptions: CLI/config users get the fast
+        # persistent-lane scheduler; API users get deterministic accumulation
+        # order (see scene.py RenderOptions.samples_per_lane).
         OptionSpec("render_samples_per_lane", "samples traced back-to-back per lane", int, 8),
+        OptionSpec("render_light_pick", "uniform|area NEE light pick", lambda s: _LIGHT_PICK[s.lower()], LightPick.UNIFORM),
         OptionSpec("camera_position", "Camera position x,y,z", _parse_float3, (0.0, 0.9, 2.4)),
         OptionSpec("camera_direction", "Camera direction x,y,z", _parse_float3, (0.0, 0.0, -1.0)),
         OptionSpec("camera_up", "Camera up vector", _parse_float3, (0.0, 1.0, 0.0)),
@@ -132,6 +137,7 @@ class Config:
             samples_per_launch=v["render_samples_per_launch"],
             samples_per_lane=v["render_samples_per_lane"],
             env_on_miss=v["render_env_on_miss"], env_nee=v["render_env_nee"],
+            light_pick=v["render_light_pick"],
         )
         return opts.replace(**overrides) if overrides else opts
 

@@ -30,6 +30,20 @@ EPS = np.float32(1e-4)
 FAR_PLANE = np.float32(500.0)  # debug-depth far plane (Terra.c:1154)
 
 
+PDF_CLAMP = np.float32(1e17)  # keeps pdf^2 finite in f32 (1e34 << 3.4e38)
+
+
+def _power2_weight(pa, pb):
+    """Power-2 MIS heuristic weight for strategy a vs b (Terra.c:1505-1513).
+    Near-delta lobes produce pdfs up to ~1e19 whose square overflows f32
+    (inf/inf -> NaN); clamping both pdfs first is weight-preserving where it
+    matters (the clamped regime has weight ~ 0 or ~ 1). The NumPy mirror
+    (testing/mirror.py) applies the identical clamp."""
+    pa = jnp.minimum(pa, PDF_CLAMP)
+    pb = jnp.minimum(pb, PDF_CLAMP)
+    return (pa * pa) / jnp.maximum(pa * pa + pb * pb, np.float32(1e-20))
+
+
 def _shadow_ray(surf: Surface, wi):
     """Next ray from a surface: origin offset along the shading normal
     (terra_surface_ray, Terra.c:1715-1724)."""
@@ -59,7 +73,9 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     e_pick = rng(bounce, S.LIGHT_PICK)
     e1 = rng(bounce, S.LIGHT_U)
     e2 = rng(bounce, S.LIGHT_V)
-    ls = lights.pick_and_sample(scene, e_pick, e1, e2)
+    ls = lights.pick_and_sample(
+        scene, e_pick, e1, e2, area_weighted=ctx.get("light_area", False)
+    )
 
     p_to_light = ls.pos - surf.point
     wi = math3.normalize(p_to_light)
@@ -84,9 +100,7 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
 
     if want_weight:
         bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
-        weight = (light_pdf * light_pdf) / jnp.maximum(
-            light_pdf * light_pdf + bsdf_pdf * bsdf_pdf, np.float32(1e-20)
-        )
+        weight = _power2_weight(light_pdf, bsdf_pdf)
         visible = visible & (light_pdf != 0.0)
     else:
         weight = jnp.ones_like(light_pdf)
@@ -124,9 +138,7 @@ def _nee_env_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
 
     if want_weight:
         bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
-        weight = (env_pdf * env_pdf) / jnp.maximum(
-            env_pdf * env_pdf + bsdf_pdf * bsdf_pdf, np.float32(1e-20)
-        )
+        weight = _power2_weight(env_pdf, bsdf_pdf)
     else:
         weight = jnp.ones_like(env_pdf)
 
@@ -145,9 +157,7 @@ def _mis_bsdf_env_term(ctx, surf: Surface, wo, wi, f, bsdf_pdf, hit):
     env_pdf = envmap.pdf(ctx["env_dist"], wi)
     nol = math3.dot(wi, surf.normal)
     ok = (~hit.hit) & (bsdf_pdf > 0.0) & (nol > 0.0)
-    weight = (bsdf_pdf * bsdf_pdf) / jnp.maximum(
-        bsdf_pdf * bsdf_pdf + env_pdf * env_pdf, np.float32(1e-20)
-    )
+    weight = _power2_weight(bsdf_pdf, env_pdf)
     Le = envmap.radiance(scene, wi)
     denom = jnp.where(ok, bsdf_pdf, 1.0)
     contrib = Le * f * (nol * weight / denom)[..., None]
@@ -187,9 +197,7 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
     dist2 = math3.sqlen(hit_surf.point - surf.point)
     hit_area = hit_surf.tri_area
     light_pdf = dist2 / jnp.maximum(now * hit_area, np.float32(1e-12))
-    weight = (bsdf_pdf * bsdf_pdf) / jnp.maximum(
-        light_pdf * light_pdf + bsdf_pdf * bsdf_pdf, np.float32(1e-20)
-    )
+    weight = _power2_weight(bsdf_pdf, light_pdf)
     ok = ok & (bsdf_pdf != 0.0)
 
     nol = math3.dot(wi, surf.normal)

@@ -45,12 +45,18 @@ class _MTL:
     ke: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     pr: Optional[float] = None
     pm: Optional[float] = None
+    ni: float = 1.5  # optical density / ior (Scene.cpp:188 default)
+    tf: Tuple[float, float, float] = (1.0, 1.0, 1.0)  # transmission filter
     illum: Optional[str] = None
     map_kd: Optional[str] = None
     map_ke: Optional[str] = None
 
     def bsdf(self) -> BSDFType:
-        """Apollo classification (Apollo.h:77-84, 877-896) + PBR keys."""
+        """Apollo classification (Apollo.h:77-84, 877-896) + PBR keys.
+        MTL illum 4/6/7/9 are the transparency/refraction classes — mapped
+        to the dielectric GLASS preset (TerraPresets.c:397-465)."""
+        if self.illum in ("glass", "4", "6", "7", "9"):
+            return BSDFType.GLASS
         if self.illum in ("specular",) or (self.illum in ("2", "3") and any(k > 0 for k in self.ks)):
             return BSDFType.PHONG
         if self.illum == "mirror" or self.illum == "5":
@@ -88,6 +94,10 @@ def _parse_mtl(path: str) -> Dict[str, _MTL]:
                 cur.pr = float(parts[1])
             elif key == "Pm" and len(parts) >= 2:
                 cur.pm = float(parts[1])
+            elif key == "Ni" and len(parts) >= 2:
+                cur.ni = float(parts[1])
+            elif key == "Tf" and len(parts) >= 4:
+                cur.tf = tuple(float(x) for x in parts[1:4])
             elif key == "illum" and len(parts) >= 2:
                 cur.illum = parts[1].lower()
             elif key == "map_Kd" and len(parts) >= 2:
@@ -113,73 +123,124 @@ def _parse_index(tok: str, nv: int, nt: int, nn: int):
     return vi, ti, ni
 
 
-def load_obj(path: str, flip_handedness: bool = True, load_textures: bool = True):
-    """Import an OBJ file. Returns (Geometry, MaterialTable, TextureAtlas)."""
+def _scan_directives(raw: str, base: str):
+    """One pass over the non-numeric directives (mtllib/usemtl/o/g): returns
+    (mtls, state_lines, state_mat, state_obj) where state_* record the
+    (material, object) in effect from each source line onward — the
+    Python-side association for the native parser's face_line output."""
+    mtls: Dict[str, _MTL] = {}
+    state_lines: List[int] = [-1]
+    state_mat: List[str] = [""]
+    state_obj: List[int] = [0]
+    cur_mat = ""
+    obj_counter = 0
+    for lineno, line in enumerate(raw.split("\n")):
+        parts = line.split("#", 1)[0].split()
+        if not parts:
+            continue
+        key = parts[0]
+        if key == "mtllib" and len(parts) > 1:
+            mtls.update(_parse_mtl(os.path.join(base, " ".join(parts[1:]))))
+        elif key == "usemtl" and len(parts) > 1:
+            cur_mat = parts[1]
+            obj_counter += 1
+            state_lines.append(lineno)
+            state_mat.append(cur_mat)
+            state_obj.append(obj_counter)
+        elif key in ("o", "g"):
+            obj_counter += 1
+            state_lines.append(lineno)
+            state_mat.append(cur_mat)
+            state_obj.append(obj_counter)
+    return mtls, np.asarray(state_lines, np.int64), state_mat, np.asarray(state_obj, np.int32)
+
+
+def _parse_python(raw: str):
+    """Pure-Python numeric parse (fallback for the native fast path): returns
+    (pos, nrm, uvs, face_idx (F,3,3) i32 with -1 absent, face_line (F,) i32).
+    Semantics identical to native/terra_native.cpp terra_obj_parse."""
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     texcoords: List[Tuple[float, float]] = []
-    faces: List[Tuple] = []  # (corner_indices x3, mat_name, obj_id)
-    mtls: Dict[str, _MTL] = {}
-    cur_mat = ""
-    obj_counter = 0
-    base = os.path.dirname(os.path.abspath(path))
-
-    with open(path, "r", errors="replace") as f:
-        for line in f:
-            parts = line.split("#", 1)[0].split()
-            if not parts:
-                continue
-            key = parts[0]
-            if key == "v":
-                positions.append(tuple(float(x) for x in parts[1:4]))
-            elif key == "vn":
-                normals.append(tuple(float(x) for x in parts[1:4]))
-            elif key == "vt":
-                texcoords.append(tuple(float(x) for x in parts[1:3]))
-            elif key == "mtllib" and len(parts) > 1:
-                mtls.update(_parse_mtl(os.path.join(base, " ".join(parts[1:]))))
-            elif key == "usemtl" and len(parts) > 1:
-                cur_mat = parts[1]
-                obj_counter += 1
-            elif key in ("o", "g"):
-                obj_counter += 1
-            elif key == "f" and len(parts) >= 4:
-                idx = [
-                    _parse_index(t, len(positions), len(texcoords), len(normals))
-                    for t in parts[1:]
-                ]
-                for i in range(1, len(idx) - 1):  # fan triangulation
-                    faces.append(((idx[0], idx[i], idx[i + 1]), cur_mat, obj_counter))
-
+    face_rows: List[Tuple] = []
+    face_lines: List[int] = []
+    for lineno, line in enumerate(raw.split("\n")):
+        parts = line.split("#", 1)[0].split()
+        if not parts:
+            continue
+        key = parts[0]
+        if key == "v":
+            positions.append(tuple(float(x) for x in parts[1:4]))
+        elif key == "vn":
+            normals.append(tuple(float(x) for x in parts[1:4]))
+        elif key == "vt":
+            texcoords.append(tuple(float(x) for x in parts[1:3]))
+        elif key == "f" and len(parts) >= 4:
+            idx = [
+                _parse_index(t, len(positions), len(texcoords), len(normals))
+                for t in parts[1:]
+            ]
+            for i in range(1, len(idx) - 1):  # fan triangulation
+                face_rows.append((idx[0], idx[i], idx[i + 1]))
+                face_lines.append(lineno)
     pos = np.asarray(positions, np.float32).reshape(-1, 3)
     nrm = np.asarray(normals, np.float32).reshape(-1, 3) if normals else np.zeros((0, 3), np.float32)
     uvs = np.asarray(texcoords, np.float32).reshape(-1, 2) if texcoords else np.zeros((0, 2), np.float32)
+    face_idx = np.asarray(face_rows, np.int32).reshape(-1, 3, 3)
+    return pos, nrm, uvs, face_idx, np.asarray(face_lines, np.int32)
+
+
+def load_obj(path: str, flip_handedness: bool = True, load_textures: bool = True):
+    """Import an OBJ file. Returns (Geometry, MaterialTable, TextureAtlas).
+
+    Numeric parsing (v/vn/vt/f records — the hot loop on Sponza-class files)
+    runs through the native C++ parser (native/terra_native.cpp,
+    terra_obj_parse) when the toolchain is available, mirroring how the
+    reference keeps its Apollo importer native (Apollo.h:964); directives
+    (mtllib/usemtl/o/g) are associated Python-side via source line numbers.
+    """
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path, "r", errors="replace") as f:
+        raw = f.read()
+
+    mtls, state_lines, state_mat, state_obj = _scan_directives(raw, base)
+
+    from .. import native
+
+    parsed = native.obj_parse(raw)
+    if parsed is None:
+        pos, nrm, uvs, face_idx, face_line = _parse_python(raw)
+    else:
+        pos, nrm, uvs, face_idx, face_line = parsed
+        face_idx = face_idx.astype(np.int32)
+
     if flip_handedness:
         pos = pos * np.asarray([1, 1, -1], np.float32)
         nrm = nrm * np.asarray([1, 1, -1], np.float32) if len(nrm) else nrm
 
-    # Material name -> table row
-    mat_names = sorted({m for _, m, _ in faces})
-    if not mat_names:
-        mat_names = [""]
-    mat_row = {n: i for i, n in enumerate(mat_names)}
+    t = len(face_idx)
+    # Per-face (material, object) state: last directive at a line <= face's.
+    fs = np.searchsorted(state_lines, face_line.astype(np.int64), side="right") - 1
 
-    t = len(faces)
-    tri_vidx = np.zeros((t, 3), np.int32)
+    # Material name -> table row (only names actually used by faces).
+    used_states = np.unique(fs) if t else np.zeros((0,), np.int64)
+    mat_names = sorted({state_mat[int(i)] for i in used_states}) or [""]
+    mat_row = {n: i for i, n in enumerate(mat_names)}
+    state_row = np.asarray([mat_row.get(n, 0) for n in state_mat], np.int32)
+
+    order = (0, 2, 1) if flip_handedness else (0, 1, 2)  # flip winding
+    face_idx = face_idx[:, order, :]
+    tri_vidx = face_idx[:, :, 0].astype(np.int32)
+    tri_ti = face_idx[:, :, 1]
+    tri_ni = face_idx[:, :, 2].astype(np.int64)
     tri_uv = np.zeros((t, 3, 2), np.float32)
-    tri_ni = np.full((t, 3), -1, np.int64)
-    mat_id = np.zeros((t,), np.int32)
-    obj_id = np.zeros((t,), np.int32)
-    for i, (corners, mname, oid) in enumerate(faces):
-        order = (0, 2, 1) if flip_handedness else (0, 1, 2)  # flip winding
-        for slot, k in enumerate(order):
-            vi, ti, ni = corners[k]
-            tri_vidx[i, slot] = vi
-            tri_ni[i, slot] = ni
-            if ti >= 0 and len(uvs):
-                tri_uv[i, slot] = uvs[ti]
-        mat_id[i] = mat_row.get(mname, 0)
-        obj_id[i] = oid
+    if len(uvs) and t:
+        has_uv = tri_ti >= 0
+        tri_uv = np.where(
+            has_uv[..., None], uvs[np.clip(tri_ti, 0, len(uvs) - 1)], 0.0
+        ).astype(np.float32)
+    mat_id = state_row[fs] if t else np.zeros((0,), np.int32)
+    obj_id = state_obj[fs] if t else np.zeros((0,), np.int32)
 
     # Shading normals: from file where present, else area-weighted vertex
     # normals recomputed from geometry.
@@ -241,6 +302,9 @@ def load_obj(path: str, flip_handedness: bool = True, load_textures: bool = True
             attr_tex[row, ATTR.GGX_ALBEDO] = tex_slot(m.map_kd)
         elif ty == BSDFType.MIRROR:
             attrs[row, ATTR.MIRROR_COLOR] = m.ks if any(m.ks) else m.kd
+        elif ty == BSDFType.GLASS:
+            attrs[row, ATTR.GLASS_COLOR] = m.tf  # transmission filter tint
+            ior[row] = m.ni
         else:
             attrs[row, ATTR.DIFFUSE_ALBEDO] = m.kd
             attr_tex[row, ATTR.DIFFUSE_ALBEDO] = tex_slot(m.map_kd)

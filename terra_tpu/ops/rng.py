@@ -91,7 +91,11 @@ class PathStreams:
     BSDF_E2 = 4         # bsdf.sample e2              (Terra.c:1070)
     ROULETTE = 5        # russian roulette e3         (Terra.c:1084)
     LIGHT_PICK = 6      # light pick e                (Terra.c:1370)
-    LIGHT_TRI = 7       # light triangle pick e       (Terra.c:1377)
+    # id 7 is intentionally unassigned: the reference draws a second uniform
+    # to pick a triangle within the light object (Terra.c:1377); the
+    # flattened light table picks the triangle directly with LIGHT_PICK
+    # (uniform or area-CDF), so one draw covers both. The gap keeps every
+    # other stream's counter stable (golden images depend on the ids).
     LIGHT_U = 8         # light surface sample e1     (Terra.c:1386)
     LIGHT_V = 9         # light surface sample e2     (Terra.c:1387)
     MIS_E0 = 10         # mis bsdf-strategy sample e1 (Terra.c:1447)

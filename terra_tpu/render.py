@@ -32,7 +32,7 @@ from .film import Film
 from .integrators import make_integrator
 from .ops import math3, rng as rng_mod
 from .ops.rng import PathStreams as S
-from .scene import Accelerator, RenderOptions, SamplingMethod, Scene, Camera
+from .scene import Accelerator, LightPick, RenderOptions, SamplingMethod, Scene, Camera
 from .surface import surface_init
 from . import textures as textures_mod
 
@@ -202,6 +202,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         ctx = dict(
             scene=scene, rng=rng, raycast=raycast, ray_origin=o,
             tables=tables, present=present, env_dist=env_dist,
+            light_area=opts.light_pick == LightPick.AREA,
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
@@ -213,7 +214,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         wi, aux = bsdf.sample(surf, e0, e1, e2, wo, present)
         pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux, present), EPS)
         f = bsdf.eval_f(surf, wi, wo, present)
-        nol = math3.dot(surf.normal, wi)
+        nol, off_sign = bsdf.continuation_factors(surf, wi, present)
         new_tp = throughput * f * (nol / pdf)[..., None]
 
         # Russian roulette (Terra.c:1081-1091), optionally deferred.
@@ -224,7 +225,12 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         new_tp = jnp.where(rr_on, new_tp / (p + EPS)[..., None], new_tp)
         active = active & survive
 
-        new_o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+        if off_sign is None:
+            new_o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+        else:  # transmitted rays continue on the far side of the surface
+            new_o = surf.point + surf.normal * (
+                off_sign * intersect.SURFACE_OFFSET_NORMAL
+            )[..., None]
         carry = dict(
             o=jnp.where(active[..., None], new_o, o),
             d=jnp.where(active[..., None], wi, d),
@@ -321,6 +327,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         ctx = dict(
             scene=scene, rng=rng, raycast=raycast, ray_origin=o,
             tables=tables, present=present, env_dist=env_dist,
+            light_area=opts.light_pick == LightPick.AREA,
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         lo_sample = lo_sample + jnp.where(alive[..., None], radiance, 0.0)
@@ -329,7 +336,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         wi, aux = bsdf.sample(surf, u[S.BSDF_E0], u[S.BSDF_E1], u[S.BSDF_E2], wo, present)
         pdf = jnp.maximum(bsdf.pdf(surf, wi, wo, aux, present), EPS)
         f = bsdf.eval_f(surf, wi, wo, present)
-        nol = math3.dot(surf.normal, wi)
+        nol, off_sign = bsdf.continuation_factors(surf, wi, present)
         new_tp = throughput * f * (nol / pdf)[..., None]
         p = math3.max3(new_tp)
         rr_on = bounce >= opts.rr_start_bounce
@@ -346,7 +353,12 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         sample = st["sample"] + path_end.astype(jnp.int32)
 
         ro, rd = new_ray(sample)
-        cont_o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+        if off_sign is None:
+            cont_o = surf.point + surf.normal * intersect.SURFACE_OFFSET_NORMAL
+        else:  # transmitted rays continue on the far side of the surface
+            cont_o = surf.point + surf.normal * (
+                off_sign * intersect.SURFACE_OFFSET_NORMAL
+            )[..., None]
         return dict(
             o=jnp.where(regen[..., None], ro, jnp.where(survive[..., None], cont_o, o)),
             d=jnp.where(regen[..., None], rd, jnp.where(survive[..., None], wi, d)),
@@ -434,8 +446,18 @@ def render(
     chunk = opts.samples_per_launch or spp
     chunk = min(chunk, spp)
     # Start counting samples where the film left off so re-renders draw
-    # fresh sample indices (progressive refinement).
-    base = int(np.asarray(jax.device_get(film.samples[0, 0])))
+    # fresh sample indices (progressive refinement). The film must be
+    # uniformly sampled (progressive whole-frame passes); a non-uniform film
+    # (e.g. future adaptive sampling) would silently reuse sample indices,
+    # so refuse it here and resume from the max.
+    samples_host = np.asarray(jax.device_get(film.samples))
+    base = int(samples_host.max()) if samples_host.size else 0
+    if samples_host.size and int(samples_host.min()) != base:
+        raise ValueError(
+            "render() resume requires a uniformly-sampled film "
+            f"(min={int(samples_host.min())}, max={base}); render missing "
+            "regions separately or reset the film"
+        )
     done = 0
     while done < spp:
         cur = min(chunk, spp - done)

@@ -36,6 +36,7 @@ from .ops import math3
 __all__ = [
     "BSDFType",
     "Integrator",
+    "LightPick",
     "Tonemap",
     "SamplingMethod",
     "Accelerator",
@@ -58,7 +59,9 @@ class BSDFType(enum.IntEnum):
 
     DIFFUSE / PHONG mirror TerraPresets.c; GGX is the microfacet model the
     reference left disabled (TerraPresets.c:298-395) rebuilt properly;
-    MIRROR is a perfect specular delta lobe.
+    MIRROR is a perfect specular delta lobe; GLASS is the reference's
+    disabled perfect-glass preset (TerraPresets.c:397-465) rebuilt with
+    working transmission (Snell refraction, TIR, Fresnel-weighted lobe RR).
     """
 
     DIFFUSE = 0
@@ -66,6 +69,7 @@ class BSDFType(enum.IntEnum):
     GGX = 2
     MIRROR = 3
     DISNEY = 4
+    GLASS = 5
 
 
 class ATTR:
@@ -84,6 +88,9 @@ class ATTR:
     GGX_SPECULAR = 3
     # mirror
     MIRROR_COLOR = 0
+    # glass (dielectric): tint applied to both lobes; ior comes from the
+    # material's ior column (TerraPresets.c:407 material->ior)
+    GLASS_COLOR = 0
     # disney (slot layout follows TerraPresets.c:217-224)
     DISNEY_BASE_COLOR = 0
     DISNEY_SPECULAR = 1      # [specular, specular_tint, -]
@@ -132,6 +139,16 @@ class Accelerator(enum.IntEnum):
 
     BRUTE = 0
     BVH = 1
+
+
+class LightPick(enum.IntEnum):
+    """NEE light-triangle picking strategy. UNIFORM matches the reference's
+    pdf = 1/num_light_triangles (Terra.c:1618-1619); AREA importance-samples
+    the flattened table by triangle area via the CDF built at commit
+    (extension — lower variance when light sizes differ a lot)."""
+
+    UNIFORM = 0
+    AREA = 1
 
 
 class Intersector(enum.IntEnum):
@@ -218,7 +235,7 @@ class MaterialTable:
     emissive: jax.Array
     emissive_tex: jax.Array
     ior: jax.Array
-    types_present: tuple = (0, 1, 2, 3, 4)
+    types_present: tuple = (0, 1, 2, 3, 4, 5)
 
     @property
     def num_materials(self) -> int:
@@ -343,6 +360,11 @@ class RenderOptions:
     # 1 = classic fixed-depth wavefront (bit-matches the golden mirror);
     # >1 keeps lanes ~fully occupied (estimator unchanged: the exact same
     # (pixel, sample, bounce, stream) random draws are consumed).
+    # NOTE: the API default is 1 so library users (and the golden tests) get
+    # the deterministic accumulation order; the CLI/config registry default
+    # is 8 (config.py "render_samples_per_lane") so interactive renders get
+    # the fast persistent scheduler. The estimator is identical either way —
+    # only f32 accumulation order differs.
     samples_per_lane: int = 1
     # Reference behavior: env radiance on miss is *not* added to Lo (the add
     # is commented out at Terra.c:1056). True enables the useful behavior.
@@ -363,6 +385,9 @@ class RenderOptions:
     # the env seen via delta (MIRROR) lobes is not recoverable by NEE —
     # use DIRECT_MIS for mirror + env scenes.
     env_nee: bool = False
+    # NEE light pick strategy: uniform (reference behavior) or area-CDF
+    # importance sampling over the flattened light table.
+    light_pick: LightPick = LightPick.UNIFORM
 
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)

@@ -56,13 +56,18 @@ def cornell_box(
     light_emission: float = 15.0,
     with_blocks: bool = True,
     wall_bsdf: BSDFType = BSDFType.DIFFUSE,
+    block_bsdf: BSDFType = BSDFType.DIFFUSE,
+    block_ior: float = 1.5,
 ) -> Scene:
     """Classic Cornell box, left-handed Y-up, in a 0..556-ish unit cube
     (the standard Cornell dataset scaled as-is; camera looks down +Z).
 
     Materials: 0 white diffuse, 1 red, 2 green, 3 light (white + emissive).
     ``wall_bsdf`` switches the neutral walls to PHONG/GGX for the specular
-    benchmark config (BASELINE.md config 2).
+    benchmark config (BASELINE.md config 2). ``block_bsdf`` switches the
+    short block's material (e.g. GLASS with ``block_ior`` for the dielectric
+    transmission tests — the reference's disabled glass preset,
+    TerraPresets.c:397-465).
     """
     W = 556.0  # box width
     H = 548.8
@@ -100,12 +105,13 @@ def cornell_box(
                 j = (i + 1) % 4
                 add(_quad(b[i], b[j], t[j], t[i]), mid, oid)
 
-        box([(130, 0, 65), (82, 0, 225), (240, 0, 272), (290, 0, 114)], 165.0, 0, 6)
+        short_mid = 4 if block_bsdf != BSDFType.DIFFUSE else 0
+        box([(130, 0, 65), (82, 0, 225), (240, 0, 272), (290, 0, 114)], 165.0, short_mid, 6)
         box([(423, 0, 247), (265, 0, 296), (314, 0, 456), (472, 0, 406)], 330.0, 0, 7)
 
     geom = make_geometry(tris, mids, oids)
 
-    m = 4
+    m = 5 if (with_blocks and block_bsdf != BSDFType.DIFFUSE) else 4
     attrs = np.zeros((m, 8, 3), np.float32)
     # white walls
     attrs[0, ATTR.DIFFUSE_ALBEDO] = (0.73, 0.73, 0.73)
@@ -121,8 +127,19 @@ def cornell_box(
         bsdf_types[0] = BSDFType.GGX
         attrs[0, ATTR.GGX_ROUGHNESS] = (0.25, 0.0, 0.0)
         attrs[0, ATTR.GGX_METALNESS] = (0.3, 0.0, 0.0)
+    if m == 5:
+        bsdf_types[4] = block_bsdf
+        if block_bsdf == BSDFType.GLASS:
+            attrs[4, ATTR.GLASS_COLOR] = (1.0, 1.0, 1.0)
+        elif block_bsdf == BSDFType.MIRROR:
+            attrs[4, ATTR.MIRROR_COLOR] = (0.95, 0.95, 0.95)
+        else:
+            attrs[4, ATTR.DIFFUSE_ALBEDO] = (0.73, 0.73, 0.73)
     emissive = np.zeros((m, 3), np.float32)
     emissive[3] = (light_emission, light_emission, light_emission)
+    iors = np.full((m,), 1.5, np.float32)
+    if m == 5:
+        iors[4] = block_ior
 
     materials = MaterialTable(
         bsdf_type=jnp.asarray(bsdf_types),
@@ -130,7 +147,7 @@ def cornell_box(
         attr_tex=jnp.full((m, 8), -1, jnp.int32),
         emissive=jnp.asarray(emissive),
         emissive_tex=jnp.full((m,), -1, jnp.int32),
-        ior=jnp.full((m,), 1.5, jnp.float32),
+        ior=jnp.asarray(iors),
     )
     return commit(geom, materials, accelerator=accelerator)
 

@@ -27,7 +27,7 @@ PI = F32(np.pi)
 JITTER_X, JITTER_Y = 0, 1
 BSDF_E0, BSDF_E1, BSDF_E2 = 2, 3, 4
 ROULETTE = 5
-LIGHT_PICK, LIGHT_TRI, LIGHT_U, LIGHT_V = 6, 7, 8, 9
+LIGHT_PICK, LIGHT_U, LIGHT_V = 6, 8, 9  # id 7 unassigned (see ops/rng.py)
 MIS_E0, MIS_E1, MIS_E2 = 10, 11, 12
 
 _ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
@@ -139,6 +139,7 @@ class SceneNp:
         l = scene.lights
         self.light_tri = np.asarray(l.tri_idx, np.int32)
         self.light_area = np.asarray(l.area, F32)
+        self.light_cdf = np.asarray(l.cdf, F32)
         self.light_num = int(np.asarray(l.num))
         self.env_value = np.asarray(scene.env_value, F32)
         self.tri_a = self.positions[self.tri_vidx[:, 0]]
@@ -218,6 +219,37 @@ def _phong_kd_ks(surf):
     return kd.astype(F32), (1.0 - kd).astype(F32)
 
 
+def _glass_geom(surf, wo):
+    """NumPy twin of bsdf._glass_geometry (op-for-op in f32)."""
+    n = surf["normal"]
+    ior = np.maximum(surf["ior"], F32(1.0 + 1e-4))
+    now = dot(n, wo)
+    entering = now > 0.0
+    n_eff = np.where(entering[..., None], n, -n).astype(F32)
+    cos_i = np.abs(now)
+    eta = np.where(entering, 1.0 / ior, ior).astype(F32)
+    refl = normalize(reflect(wo, n_eff))
+    cos_t2 = (1.0 - eta * eta * (1.0 - cos_i * cos_i)).astype(F32)
+    tir = cos_t2 < 0.0
+    cos_t = np.sqrt(np.maximum(cos_t2, 0.0)).astype(F32)
+    tbase = np.where(eta <= 1.0, cos_i, cos_t).astype(F32)
+    r0 = (1.0 - ior) / (1.0 + ior)
+    r0 = (r0 * r0).astype(F32)
+    R = (r0 + (1.0 - r0) * _schlick_w(tbase)).astype(F32)
+    R = np.where(tir, F32(1.0), np.clip(R, 0.0, 1.0)).astype(F32)
+    trans = normalize(-wo * eta[..., None] + n_eff * (eta * cos_i - cos_t)[..., None])
+    trans = np.where(tir[..., None], refl, trans).astype(F32)
+    return n_eff, refl, trans, R, tir
+
+
+def _glass_match(surf, wi, wo):
+    _, refl, trans, R, tir = _glass_geom(surf, wo)
+    aligned_r = dot(wi, refl) > (1.0 - 1e-5)
+    aligned_t = (~tir) & (dot(wi, trans) > (1.0 - 1e-5)) & ~aligned_r
+    w = np.where(aligned_r, R, np.where(aligned_t, 1.0 - R, 0.0)).astype(F32)
+    return w, aligned_r | aligned_t
+
+
 def bsdf_sample(surf, e0, e1, e2, wo):
     ty = surf["bsdf_type"]
     wi_d = _cosine_hemisphere(surf, e0, e1)
@@ -250,11 +282,15 @@ def bsdf_sample(surf, e0, e1, e2, wo):
     wi_g = np.where(take_gd[..., None], _cosine_hemisphere(surf, e0, e1), wi_gs)
     # mirror
     wi_m = normalize(reflect(wo, surf["normal"]))
+    # glass: Fresnel lobe roulette on e2
+    _, refl_gl, trans_gl, R_gl, _ = _glass_geom(surf, wo)
+    wi_gl = np.where((e2 < R_gl)[..., None], refl_gl, trans_gl)
 
     wi = wi_d.copy()
     wi = np.where((ty == 1)[..., None], wi_p, wi)
     wi = np.where((ty == 2)[..., None], wi_g, wi)
     wi = np.where((ty == 3)[..., None], wi_m, wi)
+    wi = np.where((ty == 5)[..., None], wi_gl, wi)
     aux = np.where(ty == 1, lobe, F32(0))
     return wi, aux
 
@@ -287,10 +323,13 @@ def bsdf_pdf(surf, wi, wo, aux):
     # mirror
     aligned = dot(wi, wr) > (1.0 - 1e-5)
     p_m = np.where(aligned, F32(1), F32(0))
+    # glass
+    p_gl, _ = _glass_match(surf, wi, wo)
     out = p
     out = np.where(ty == 1, p_ph, out)
     out = np.where(ty == 2, p_g.astype(F32), out)
     out = np.where(ty == 3, p_m, out)
+    out = np.where(ty == 5, p_gl, out)
     return out.astype(F32)
 
 
@@ -336,19 +375,31 @@ def bsdf_eval(surf, wi, wo):
     aligned = dot(wi, wr) > (1.0 - 1e-5)
     nol_m = np.maximum(dot(surf["normal"], wi), 1e-6)
     f_m = np.where(aligned[..., None], color / nol_m[..., None], 0)
+    # glass
+    w_gl, matched_gl = _glass_match(surf, wi, wo)
+    anol = np.maximum(np.abs(dot(surf["normal"], wi)), 1e-6)
+    f_gl = np.where(matched_gl[..., None], color * (w_gl / anol)[..., None], 0)
     out = f_d
     out = np.where((ty == 1)[..., None], f_p, out)
     out = np.where((ty == 2)[..., None], f_g.astype(F32), out)
     out = np.where((ty == 3)[..., None], f_m.astype(F32), out)
+    out = np.where((ty == 5)[..., None], f_gl.astype(F32), out)
     return out.astype(F32)
 
 
 # -------------------------------------------------------------- integrators
 
-def _light_pick_sample(sc: SceneNp, e_pick, e1, e2):
+def _light_pick_sample(sc: SceneNp, e_pick, e1, e2, area_weighted=False):
     num = max(sc.light_num, 1)
-    slot = np.minimum((e_pick * F32(num)).astype(np.int32), num - 1)
-    pick_pdf = np.full_like(e_pick, F32(1.0 / num))
+    if area_weighted:
+        slot = np.searchsorted(sc.light_cdf, e_pick).astype(np.int32)
+        slot = np.minimum(slot, num - 1)
+        live = np.arange(len(sc.light_area)) < num
+        total = np.sum(np.where(live, sc.light_area, 0.0), dtype=F32)
+        pick_pdf = (sc.light_area[slot] / np.maximum(total, F32(1e-12))).astype(F32)
+    else:
+        slot = np.minimum((e_pick * F32(num)).astype(np.int32), num - 1)
+        pick_pdf = np.full_like(e_pick, F32(1.0 / num))
     tri = sc.light_tri[slot]
     a, b, c = sc.tri_a[tri], sc.tri_b[tri], sc.tri_c[tri]
     s = np.sqrt(e1)
@@ -361,11 +412,20 @@ def _light_pick_sample(sc: SceneNp, e_pick, e1, e2):
     return tri, pos.astype(F32), norm, area, pick_pdf
 
 
-def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux):
+PDF_CLAMP = F32(1e17)  # must match integrators._power2_weight
+
+
+def _power2_weight(pa, pb):
+    pa = np.minimum(pa, PDF_CLAMP)
+    pb = np.minimum(pb, PDF_CLAMP)
+    return (pa * pa) / np.maximum(pa * pa + pb * pb, F32(1e-20))
+
+
+def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux, area_weighted=False):
     e_pick = uniform_np(key, pix, smp, bounce, LIGHT_PICK)
     e1 = uniform_np(key, pix, smp, bounce, LIGHT_U)
     e2 = uniform_np(key, pix, smp, bounce, LIGHT_V)
-    tri_l, pos, norm_l, area, pick_pdf = _light_pick_sample(sc, e_pick, e1, e2)
+    tri_l, pos, norm_l, area, pick_pdf = _light_pick_sample(sc, e_pick, e1, e2, area_weighted)
     p2l = pos - surf["point"]
     wi = normalize(p2l)
     o_sh = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
@@ -380,7 +440,7 @@ def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux):
     Le = lsurf["emissive"]
     if want_weight:
         bp = bsdf_pdf(surf, wi, wo, aux)
-        w = (light_pdf * light_pdf) / np.maximum(light_pdf * light_pdf + bp * bp, 1e-20)
+        w = _power2_weight(light_pdf, bp)
         visible &= light_pdf != 0
     else:
         w = np.ones_like(light_pdf)
@@ -405,7 +465,7 @@ def _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l):
     a, b, c = sc.tri_a[tri_h], sc.tri_b[tri_h], sc.tri_c[tri_h]
     hit_area = 0.5 * np.sqrt(dot(cross(b - a, c - a), cross(b - a, c - a)))
     light_pdf = dist2 / np.maximum(now * hit_area, 1e-12)
-    w = (bp * bp) / np.maximum(light_pdf * light_pdf + bp * bp, 1e-20)
+    w = _power2_weight(bp, light_pdf)
     ok &= bp != 0
     nol = dot(wi, surf["normal"])
     contrib = hsurf["emissive"] * f * (nol * w / np.maximum(bp, 1e-20))[..., None]
@@ -473,13 +533,14 @@ def render_mirror(scene, camera, opts, seed=0):
         active = active & hit
 
         integ = int(opts.integrator)
+        area_pick = bool(int(getattr(opts, "light_pick", 0)))
         if integ == 0:  # simple
             facing = dot(wo, surf["normal"]) > 0
             rad = np.where(facing[..., None], surf["emissive"], 0) * tp
         elif integ == 1:  # direct
             facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
             Le0 = np.where(facing[..., None], surf["emissive"], 0)
-            c, _ = _nee(sc, key, pix, smp, bounce, surf, wo, False, None)
+            c, _ = _nee(sc, key, pix, smp, bounce, surf, wo, False, None, area_pick)
             rad = (Le0 + c) * tp
         elif integ == 2:  # direct mis
             facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
@@ -488,7 +549,7 @@ def render_mirror(scene, camera, opts, seed=0):
             e1 = uniform_np(key, pix, smp, bounce, MIS_E1)
             e2 = uniform_np(key, pix, smp, bounce, MIS_E2)
             _, aux = bsdf_sample(surf, e0, e1, e2, wo)
-            lc, tri_l = _nee(sc, key, pix, smp, bounce, surf, wo, True, aux)
+            lc, tri_l = _nee(sc, key, pix, smp, bounce, surf, wo, True, aux, area_pick)
             bc = _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l)
             rad = (Le0 + lc + bc) * tp
         else:
@@ -502,6 +563,10 @@ def render_mirror(scene, camera, opts, seed=0):
         pdf = np.maximum(bsdf_pdf(surf, wi, wo, aux), EPS)
         f = bsdf_eval(surf, wi, wo)
         nol = dot(surf["normal"], wi)
+        # glass lanes: |N.wi| and far-side origin offset (bsdf.continuation_factors)
+        is_glass = surf["bsdf_type"] == 5
+        nol = np.where(is_glass, np.abs(nol), nol).astype(F32)
+        off_sign = np.where(is_glass & (dot(surf["normal"], wi) < 0), F32(-1), F32(1))
         new_tp = tp * f * (nol / pdf)[..., None]
         p = new_tp.max(-1)
         e3 = uniform_np(key, pix, smp, bounce, ROULETTE)
@@ -510,7 +575,7 @@ def render_mirror(scene, camera, opts, seed=0):
         if rr_on:
             new_tp = new_tp / (p + EPS)[..., None]
         active = active & survive
-        new_o = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
+        new_o = surf["point"] + surf["normal"] * (off_sign * SURFACE_OFFSET_NORMAL)[..., None]
         o = np.where(active[..., None], new_o, o)
         d = np.where(active[..., None], wi, d)
         tp = np.where(active[..., None], new_tp, tp).astype(F32)
