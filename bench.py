@@ -1,21 +1,46 @@
-"""Headline benchmark: forward Mrays/s/chip on the Cornell box.
+"""Headline benchmarks: every BASELINE.md config, one JSON line each.
 
-BASELINE.md config 1: Cornell box, diffuse BSDF, 64 spp, 256x256.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Configs (BASELINE.md "Benchmark configs"):
+  1. cornell_fwd_mrays_per_chip — Cornell box, diffuse, 64 spp, 256².
+     vs_baseline = value / 100 (driver target: >=100 Mrays/s/chip).
+  2. cornell_ggx_mis_mrays — Cornell + GGX walls + MIS NEE, 512², 256 spp.
+     vs_baseline = value / 28.0 (round-1 measured).
+  3. courtyard_bvh_mrays — Sponza-class ~305k-tri textured mesh: LBVH
+     build (reported as build_ms) + Pallas traversal throughput on sorted
+     primary rays. vs_baseline = value / 5.6 (round-1 measured).
+  4. inverse_step_ms — inverse-rendering step time (fwd+bwd+adam, 32² 8 spp
+     DIRECT). vs_baseline = 100 / value (target: <=100 ms/step).
 
 Ray accounting (conservative, matches the reference's notion of a "ray" =
 one closest-hit traversal, TerraBVH.c:250): primary + per-bounce extension
 rays actually traced by the wavefront are counted via the measured average
-path length; integrator shadow rays are counted on active lanes only.
+path survival; integrator shadow rays are counted on active lanes only.
+
+Run directly on the TPU box, one process at a time (see CLAUDE.md).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
-BASELINE_MRAYS = 100.0  # driver target: >=100 Mrays/s/chip forward
+BASE_CORNELL = 100.0   # driver target, Mrays/s/chip
+BASE_GGX_MIS = 28.0    # round-1 measured, Mrays/s
+BASE_COURTYARD = 5.6   # round-1 measured (305k tris, primary sorted), Mrays/s
+BASE_INVERSE_MS = 100.0  # target ms/step
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _emit(metric, value, unit, vs_baseline, **extra):
+    line = {"metric": metric, "value": round(float(value), 3), "unit": unit,
+            "vs_baseline": round(float(vs_baseline), 3)}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
 
 
 def measure_avg_active(scene, cam, opts, key):
@@ -67,44 +92,25 @@ def measure_avg_active(scene, cam, opts, key):
     return [float(x) for x in np.asarray(probe())]
 
 
-def main():
-    import jax
+def _timed_render(scene, cam, opts, key, shadow_rays_per_bounce: int):
+    """Compile, time a full progressive render, return (Mrays/s, seconds)."""
     import jax.numpy as jnp
 
-    import terra_tpu as tt
-    from terra_tpu.ops import rng as rng_mod
     from terra_tpu.render import render_chunk
 
-    scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BRUTE)
-    cam = tt.scenes.cornell_camera()
-    opts = tt.RenderOptions(
-        width=256, height=256, samples_per_pixel=64, bounces=4,
-        integrator=tt.Integrator.SIMPLE, subpixel_jitter=0.5,
-        samples_per_launch=32, samples_per_lane=8,
-    )
-    k0, k1 = rng_mod.key_from_seed(0)
-    key = jnp.array([k0, k1], jnp.uint32)
-    spp_chunk = opts.samples_per_launch
-
-    # Honest ray count: primary raycast always runs for every lane each
-    # bounce iteration (masked-lane execution), but we count only lanes
-    # that were live entering the bounce — what a work-compacting tracer
-    # would trace. Shadow rays: none for SIMPLE.
-    import sys
-    print("probe...", file=sys.stderr, flush=True)
     fractions = measure_avg_active(scene, cam, opts, key)
-    print(f"fractions {fractions}", file=sys.stderr, flush=True)
     lanes = opts.width * opts.height * opts.samples_per_pixel
-    rays_per_lane = 1.0 + sum(fractions[:-1])  # primary + continuations
-    total_rays = lanes * rays_per_lane
+    # path extension rays: primary + continuations that were live entering
+    # each bounce; shadow/strategy rays: on lanes live at the shade point.
+    path_rays = 1.0 + sum(fractions[:-1])
+    shadow_rays = shadow_rays_per_bounce * (1.0 + sum(fractions[:-1]))
+    total_rays = lanes * (path_rays + shadow_rays)
 
-    # compile
-    print("compiling render chunk...", file=sys.stderr, flush=True)
+    spp_chunk = min(opts.samples_per_launch or opts.samples_per_pixel,
+                    opts.samples_per_pixel)
     acc = render_chunk(scene, cam, opts, key, jnp.int32(0), spp_chunk)
     acc.block_until_ready()
-    print("timing...", file=sys.stderr, flush=True)
 
-    # timed: full 64 spp in chunks
     n_chunks = opts.samples_per_pixel // spp_chunk
     t0 = time.perf_counter()
     accs = []
@@ -113,14 +119,142 @@ def main():
     for a in accs:
         a.block_until_ready()
     dt = time.perf_counter() - t0
+    return total_rays / dt / 1e6, dt
 
-    mrays = total_rays / dt / 1e6
-    print(json.dumps({
-        "metric": "cornell_fwd_mrays_per_chip",
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-    }))
+
+def bench_cornell(tt, key):
+    scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BRUTE)
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(
+        width=256, height=256, samples_per_pixel=64, bounces=4,
+        integrator=tt.Integrator.SIMPLE, subpixel_jitter=0.5,
+        samples_per_launch=32, samples_per_lane=8,
+    )
+    _log("config 1: cornell diffuse 256^2 ...")
+    mrays, dt = _timed_render(scene, cam, opts, key, shadow_rays_per_bounce=0)
+    _emit("cornell_fwd_mrays_per_chip", mrays, "Mrays/s", mrays / BASE_CORNELL,
+          seconds=round(dt, 3))
+
+
+def bench_ggx_mis(tt, key):
+    scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BRUTE,
+                                  wall_bsdf=tt.BSDFType.GGX)
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(
+        width=512, height=512, samples_per_pixel=256, bounces=4,
+        integrator=tt.Integrator.DIRECT_MIS, subpixel_jitter=0.5,
+        samples_per_launch=16, samples_per_lane=8,
+    )
+    _log("config 2: cornell GGX+MIS 512^2 256 spp ...")
+    # DIRECT_MIS issues 2 strategy raycasts per shaded bounce (light + bsdf)
+    mrays, dt = _timed_render(scene, cam, opts, key, shadow_rays_per_bounce=2)
+    _emit("cornell_ggx_mis_mrays", mrays, "Mrays/s", mrays / BASE_GGX_MIS,
+          seconds=round(dt, 3))
+
+
+def bench_courtyard(tt, key):
+    import jax
+    import jax.numpy as jnp
+    from terra_tpu import camera as camera_mod
+    from terra_tpu.accel import lbvh, pallas_traverse as pt
+    from terra_tpu.accel import traverse as xla_traverse
+
+    _log("config 3: courtyard 305k-tri build+traversal ...")
+    t0 = time.perf_counter()
+    scene = tt.scenes.courtyard()  # ~305k tris, textured, BVH accelerator
+    jax.block_until_ready(scene.bvh.node_min)
+    total_build_s = time.perf_counter() - t0
+    # isolate the LBVH build itself (scene construction includes geometry)
+    t0 = time.perf_counter()
+    bvh = lbvh.build(scene.geometry, leaf_size=scene.bvh.leaf_size)
+    jax.block_until_ready(bvh.node_min)
+    build_ms = (time.perf_counter() - t0) * 1e3
+
+    n = 1 << 20
+    cam = tt.scenes.courtyard_camera()
+    side = int(np.sqrt(n))
+    px, py = jnp.meshgrid(jnp.arange(side), jnp.arange(side))
+    px = px.reshape(-1).astype(jnp.float32)
+    py = py.reshape(-1).astype(jnp.float32)
+    zeros = jnp.zeros_like(px)
+    o, d = camera_mod.generate_rays(cam, side, side, px, py, 0.0, zeros, zeros)
+    packed = pt.pack_tables(scene.bvh, *scene.geometry.corners())
+
+    def run(o, d):
+        keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0], scene.bvh.node_max[0])
+        order = jnp.argsort(keys)
+        return pt._traverse_pallas(scene.bvh, *packed, o[order], d[order])
+
+    run_j = jax.jit(run)
+    jax.block_until_ready(run_j(o, d))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run_j(o, d)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    mrays = n / dt / 1e6
+    ntri = int(scene.geometry.tri_vidx.shape[0])
+    _emit("courtyard_bvh_mrays", mrays, "Mrays/s", mrays / BASE_COURTYARD,
+          tris=ntri, build_ms=round(build_ms, 1),
+          scene_build_s=round(total_build_s, 2))
+
+
+def bench_inverse(tt, key):
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from terra_tpu import optim
+
+    _log("config 4: inverse-render step ...")
+    scene_gt = tt.scenes.cornell_box(with_blocks=False)
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(
+        width=32, height=32, samples_per_pixel=8,
+        bounces=2, integrator=tt.Integrator.DIRECT, rr_start_bounce=8,
+    )
+    import optax
+
+    @jax.jit
+    def make_target():
+        return optim.render_mean_image(scene_gt, cam, opts, key, jnp.int32(0), 8)
+
+    target = jax.lax.stop_gradient(make_target())
+    attrs0 = scene_gt.materials.attrs.at[0, 0, :].set(jnp.asarray([0.3, 0.5, 0.6]))
+    scene0 = dataclasses.replace(
+        scene_gt, materials=dataclasses.replace(scene_gt.materials, attrs=attrs0))
+
+    optimizer = optax.adam(3e-2)
+    params = optim.extract_params(scene0, ("attrs",))
+    state = optim.TrainState(params, optimizer.init(params), jnp.int32(0))
+    step = optim.make_train_step(cam, opts, target, optimizer)
+    state, loss = step(state, scene0, key)
+    jax.block_until_ready(loss)
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, scene0, key)
+    jax.block_until_ready(loss)
+    ms = (time.perf_counter() - t0) / steps * 1e3
+    _emit("inverse_step_ms", ms, "ms/step", BASE_INVERSE_MS / ms,
+          final_loss=round(float(loss), 6))
+
+
+def main():
+    import jax  # noqa: F401  (device init before timing)
+    import jax.numpy as jnp
+
+    import terra_tpu as tt
+    from terra_tpu.ops import rng as rng_mod
+
+    k0, k1 = rng_mod.key_from_seed(0)
+    key = jnp.array([k0, k1], jnp.uint32)
+
+    for fn in (bench_cornell, bench_ggx_mis, bench_courtyard, bench_inverse):
+        try:
+            fn(tt, key)
+        except Exception as e:  # keep later configs alive; record the failure
+            _emit(fn.__name__, 0.0, "error", 0.0, error=f"{type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

@@ -23,11 +23,12 @@ def main():
     ap.add_argument("--grid", type=int, default=150)
     ap.add_argument("--columns", type=int, default=20)
     ap.add_argument("--rays", type=int, default=1 << 20)
-    ap.add_argument("--packet-rows", type=int, nargs="+", default=[8, 2])
+    ap.add_argument("--packet-rows", type=int, nargs="+", default=[8])
     ap.add_argument("--leaf-size", type=int, default=0,
                     help="rebuild the BVH with this leaf size (0 = scene default)")
-    ap.add_argument("--dma", action="store_true",
-                    help="bench the HBM-resident triangle table (per-leaf DMA)")
+    ap.add_argument("--queue", type=int, default=0,
+                    help="leaf-DMA queue depth (0 = kernel default)")
+    ap.add_argument("--algo", default="mt", choices=["mt", "watertight"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -50,8 +51,9 @@ def main():
             scene, bvh=lbvh.build(scene.geometry, leaf_size=args.leaf_size))
     bvh = scene.bvh
     ntri = scene.geometry.tri_vidx.shape[0]
+    queue = args.queue or pt.QUEUE
     print(f"tris={ntri} leaves={bvh.num_leaves} leaf_size={bvh.leaf_size} "
-          f"fits_vmem={pt.fits_vmem(bvh)}")
+          f"queue={queue} algo={args.algo}")
 
     n = args.rays
     cam = tt.scenes.courtyard_camera()
@@ -69,8 +71,7 @@ def main():
     d_i = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
 
     tri_a, tri_b, tri_c = scene.geometry.corners()
-    tris_in_vmem = not args.dma
-    packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem=tris_in_vmem)
+    packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c)
 
     def run(o, d, rows, count_steps):
         m = o.shape[0]
@@ -83,7 +84,7 @@ def main():
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
         return pt._traverse_pallas(bvh, *packed, o, d, packet_rows=rows,
                                    count_steps=count_steps, interpret=args.cpu,
-                                   tris_in_vmem=tris_in_vmem)
+                                   algo=args.algo, queue=queue)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

@@ -13,11 +13,23 @@ the TPU memory system:
     layout paid; the packet AABB test needs exactly ONE cross-lane
     reduction per child (the masked entry-t min; any-hit is entry<FAR);
   * triangle corner data stays in HBM ((C*L, 128) f32 — one 128-lane row
-    per leaf slot, tri ids float-encoded into lane 9) and each visited
-    leaf's rows are DMA'd into a VMEM scratch slab on demand — leaf
-    working sets scale with the scene while VMEM usage stays constant;
+    per leaf slot, tri ids float-encoded into lane 9) — leaf working sets
+    scale with the scene while VMEM usage stays constant;
+  * visited leaves are NOT intersected inline: their ids go into a small
+    SMEM queue, and when the queue fills the kernel issues ALL of the
+    queued leaves' HBM->VMEM DMAs back-to-back and only then starts
+    waiting — so up to ``QUEUE`` copies are in flight and each wait
+    overlaps the previous slot's dense intersection test. This replaces
+    the round-1 scheme (one DMA issued unconditionally per stack pop,
+    waited within the same pop: a single copy in flight AND wasted
+    bandwidth on every internal-node pop);
   * each grid step owns a packet of 1024 rays as (8, 128) component
-    planes; AABB and Moller-Trumbore tests are dense VPU ops;
+    planes; AABB and triangle tests are dense VPU ops. The leaf test
+    shares ``intersect.mt_components`` / ``watertight_components`` with
+    the XLA paths, so ``RenderOptions.intersector`` selects Moller-
+    Trumbore or the Wald2013 watertight kernel *inside* the Pallas path
+    (the reference runs its watertight test inside its hot traversal too,
+    TerraGeometry.c:159-259 via TerraBVH.c:283);
   * traversal control flow is scalar (lax.while_loop + pl.when; lax.cond
     hangs the Mosaic compiler here) with a REAL ordered stack in SMEM:
     children are pushed far-first so the near subtree is visited first
@@ -34,38 +46,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..intersect import RayHit, T_FAR
+from ..intersect import RayHit, T_FAR, mt_components, watertight_components
 
-__all__ = ["raycast", "pack_tables", "PACKET"]
+__all__ = ["raycast", "pack_tables", "PACKET", "QUEUE"]
 
 PACKET = 1024  # rays per packet: (8, 128) f32 register planes
 STACK_DEPTH = 96
+QUEUE = 4       # leaf DMAs in flight per drain round
 EPS = np.float32(1e-4)
-BOX_FIELDS = 8   # minx,miny,minz,maxx,maxy,maxz,pad,pad -> 16 nodes/row
-LINK_FIELDS = 2  # left,right -> 64 nodes/row
 TRI_FIELDS = 128  # one full lane row per triangle: ax..cz (9), tri_id (9),
                   # rest pad — HBM rows must be 128-aligned for DMA slicing
-
-
-def _lane_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-
-
-def _extract(row, lane_idx):
-    """Scalar at a dynamic lane position of a (1, 128) f32 row."""
-    return jnp.sum(jnp.where(_lane_iota() == lane_idx, row, 0.0))
-
-
-def _extract_i32(row, lane_idx):
-    return jnp.sum(jnp.where(_lane_iota() == lane_idx, row, 0))
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             nodes_ref, links_ref, tris_ref,
             best_t_ref, best_i_ref,
             *rest,
-            ni: int, num_leaves: int, leaf_size: int, tris_in_vmem: bool,
-            count_steps: bool = False):
+            ni: int, num_leaves: int, leaf_size: int, algo: str,
+            nq: int, count_steps: bool = False):
     if count_steps:
         steps_ref, tri_scratch, dma_sem = rest
     else:
@@ -107,129 +105,61 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
         return jnp.min(jnp.where(hit, tmin, T_FAR))
 
-    def leaf_test(leaf_id):
-        """MT the packet against a leaf of the lane-packed VMEM table:
-        triangle fields are packed 8-per-row and read with one-hot
-        extraction (one cross-lane reduction per field)."""
+    isect = watertight_components if algo == "watertight" else mt_components
 
-        def tri_body(k, _):
-            slot = leaf_id * leaf_size + k
-            row = tris_ref[slot // 8].reshape(1, 128)
-            base = (slot % 8) * 16
-
-            def f(j):
-                return _extract(row, base + j)
-
-            ax, ay, az = f(0), f(1), f(2)
-            bx, by, bz = f(3), f(4), f(5)
-            cx, cy, cz = f(6), f(7), f(8)
-            tri_id = f(9).astype(jnp.int32)  # float-encoded id (< 2^24)
-            e1x, e1y, e1z = bx - ax, by - ay, bz - az
-            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            invd = 1.0 / jnp.where(jnp.abs(det) > EPS, det, 1.0)
-            sx, sy, sz = ox - ax, oy - ay, oz - az
-            u = invd * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = invd * (dx * qx + dy * qy + dz * qz)
-            t = invd * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (jnp.abs(det) > EPS)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > EPS)
-                & (t < best_t_ref[...])
-            )
-            best_t_ref[...] = jnp.where(ok, t, best_t_ref[...])
-            best_i_ref[...] = jnp.where(ok, tri_id, best_i_ref[...])
-            return 0
-
-        jax.lax.fori_loop(0, leaf_size, tri_body, 0)
-
-    def leaf_test_dense():
-        """Dense MT over the DMA scratch: CH triangles x the whole packet
-        at once. Triangle fields become (CH,1,1) columns (sublane = slot,
-        static lane slice — no one-hot extraction, no scalar round trips)
-        broadcast against the (R,128) ray planes; per-leaf reduction is an
-        elementwise min-tree over the sublane-batch axis, and the winning
-        tri id rides a float min with the same mask (ids < 2^24 are exact
-        in f32)."""
+    def leaf_test_dense(slot: int):
+        """Dense closest-hit over DMA slot ``slot``: CH triangles x the
+        whole packet at once. Triangle fields become (CH,1,1) columns
+        (sublane = slot, static lane slice — no one-hot extraction, no
+        scalar round trips) broadcast against the (R,128) ray planes;
+        per-chunk reduction is an elementwise min-tree over the
+        sublane-batch axis, and the winning tri id rides a float min with
+        the same mask (ids < 2^24 are exact in f32)."""
         CH = min(8, leaf_size)
-        tri = tri_scratch[...]
+        tri = tri_scratch[slot]
         for c in range(-(-leaf_size // CH)):
             sub = tri[c * CH:min((c + 1) * CH, leaf_size)]
 
             def col(j):
                 return sub[:, j].reshape(-1, 1, 1)
 
-            ax, ay, az = col(0), col(1), col(2)
-            bx, by, bz = col(3), col(4), col(5)
-            cx, cy, cz = col(6), col(7), col(8)
-            idf = col(9)
-            e1x, e1y, e1z = bx - ax, by - ay, bz - az
-            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-            hx = dy * e2z - dz * e2y        # (CH, R, 128)
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            invd = 1.0 / jnp.where(jnp.abs(det) > EPS, det, 1.0)
-            sx, sy, sz = ox - ax, oy - ay, oz - az
-            u = invd * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = invd * (dx * qx + dy * qy + dz * qz)
-            t = invd * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (jnp.abs(det) > EPS)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > EPS)
-                & (t < best_t_ref[...])
+            ok, t = isect(
+                (ox, oy, oz), (dx, dy, dz),
+                (col(0), col(1), col(2)),
+                (col(3), col(4), col(5)),
+                (col(6), col(7), col(8)),
+                EPS,
             )
+            ok = ok & (t < best_t_ref[...])
             t_m = jnp.where(ok, t, T_FAR)
             tmin = jnp.min(t_m, axis=0)     # (R, 128)
-            idm = jnp.min(jnp.where(t_m <= tmin[None], idf, jnp.float32(3e7)),
-                          axis=0)
+            idm = jnp.min(jnp.where(t_m <= tmin[None], col(9),
+                                    jnp.float32(3e7)), axis=0)
             better = tmin < best_t_ref[...]
             best_i_ref[...] = jnp.where(better, idm.astype(jnp.int32),
                                         best_i_ref[...])
             best_t_ref[...] = jnp.where(better, tmin, best_t_ref[...])
 
-    def leaf_fetch(leaf_id):
-        dma = pltpu.make_async_copy(
+    def leaf_dma(slot: int, leaf_id):
+        return pltpu.make_async_copy(
             tris_ref.at[pl.ds(leaf_id * leaf_size, leaf_size)],
-            tri_scratch, dma_sem,
+            tri_scratch.at[slot], dma_sem.at[slot],
         )
-        dma.start()
-        return dma
 
-    def run(stack_ref):
-        def body(state):
-            sp, steps = state
+    def run(stack_ref, queue_ref):
+        def fill_body(state):
+            """One stack pop: leaves are queued (no DMA yet), internal
+            nodes AABB-test both children and push hits far-first."""
+            sp, qn, steps = state
             sp = sp - 1
             node = stack_ref[sp]
             is_leaf = node >= ni
 
-            if tris_in_vmem:
-                @pl.when(is_leaf)
-                def _():
-                    leaf_test(node - ni)
-            else:
-                # DMA variant: issue the copy unconditionally right after
-                # the pop (leaf row 0 for internal nodes — wasted bandwidth
-                # but predicated DMA hangs the Mosaic compiler) and let it
-                # fly UNDER the child AABB tests below; only the dense MT
-                # is predicated. For leaf pops the child tests are dead
-                # work anyway (pushes are ~is_leaf-gated), so the overlap
-                # costs nothing.
-                safe_leaf = jnp.where(is_leaf, node - ni, 0)
-                dma = leaf_fetch(safe_leaf)
+            @pl.when(is_leaf)
+            def _():
+                queue_ref[qn] = node - ni
+
+            qn = qn + is_leaf.astype(jnp.int32)
 
             safe_node = jnp.where(is_leaf, 0, node)
             l = links_ref[2 * safe_node]
@@ -253,49 +183,66 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 stack_ref[sp] = first
 
             sp = sp + push1.astype(jnp.int32)
+            return sp, qn, steps + 1
 
-            if not tris_in_vmem:
-                dma.wait()
+        cap = jnp.int32(8 * (ni + num_leaves) + 64)
 
-                @pl.when(is_leaf)
-                def _():
-                    leaf_test_dense()
+        def fill_cond(state):
+            sp, qn, steps = state
+            return (sp > 0) & (qn < nq) & (steps < cap)
 
-            return sp, steps + 1
+        def round_body(state):
+            sp, _, steps = state
+            sp, qn, steps = jax.lax.while_loop(fill_cond, fill_body,
+                                               (sp, jnp.int32(0), steps))
+            # Issue EVERY queued leaf's DMA before waiting on any — nq
+            # copies in flight; unqueued slots re-copy leaf 0 (DMA start/
+            # wait must stay unpredicated on this toolchain — only the
+            # dense test is masked — and a final partial round pays one
+            # dummy row slab, not one per pop like round 1).
+            qids = []
+            for j in range(nq):
+                qj = jnp.where(j < qn, queue_ref[j], 0)
+                qids.append(qj)
+                leaf_dma(j, qj).start()
+            for j in range(nq):
+                leaf_dma(j, qids[j]).wait()
+
+                @pl.when(j < qn)
+                def _(j=j):
+                    leaf_test_dense(j)
+
+            return sp, jnp.int32(0), steps
 
         if ni == 0:
-            if tris_in_vmem:
-                leaf_test(jnp.int32(0))
-            else:
-                leaf_fetch(jnp.int32(0)).wait()
-                leaf_test_dense()
+            leaf_dma(0, jnp.int32(0)).start()
+            leaf_dma(0, jnp.int32(0)).wait()
+            leaf_test_dense(0)
             if steps_ref is not None:
                 steps_ref[...] = jnp.ones_like(best_i_ref[...])
         else:
-            cap = jnp.int32(8 * (ni + num_leaves) + 64)
             stack_ref[0] = jnp.int32(0)
-            _, steps = jax.lax.while_loop(
-                lambda state: (state[0] > 0) & (state[1] < cap),
-                body,
-                (jnp.int32(1), jnp.int32(0)),
+            _, _, steps = jax.lax.while_loop(
+                lambda state: (state[0] > 0) & (state[2] < cap),
+                round_body,
+                (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
             )
             if steps_ref is not None:
                 steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
-    pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
+    pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                  pltpu.SMEM((max(nq, 2),), jnp.int32))
 
 
-def pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem: bool = True):
+def pack_tables(bvh, tri_a, tri_b, tri_c):
     """Pack the tree for the kernel (once per (scene, bvh)).
 
     Returns (nodes, links, tris):
       nodes : (Nn*6,) f32 flat SMEM box table —
               node n's minx,miny,minz,maxx,maxy,maxz at [6n, 6n+6)
       links : (max(ni,1)*2,) i32 flat SMEM child table
-      tris  : tris_in_vmem: (ceil(C*L/8), 128) f32 — 8 tri slots x 16
-              fields per lane row (VMEM-resident);
-              else (C*L, 128) f32 HBM rows, one per slot.
-      lane/field 9 holds the float-encoded global tri id.
+      tris  : (C*L, 128) f32 HBM rows, one per leaf slot; lane 0-8 hold
+              the corner coordinates, lane 9 the float-encoded tri id.
     """
     ni = bvh.num_internal
     nodes = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1).reshape(-1)
@@ -309,22 +256,15 @@ def pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem: bool = True):
         [tri_a[leaf_flat], tri_b[leaf_flat], tri_c[leaf_flat]], axis=1
     )  # (C*L, 9)
     slots = corners.shape[0]
-    if tris_in_vmem:
-        padded_slots = -(-slots // 8) * 8
-        tris = jnp.zeros((padded_slots, 16), jnp.float32)
-        tris = tris.at[:slots, :9].set(corners)
-        tris = tris.at[:slots, 9].set(leaf_flat.astype(jnp.float32))
-        tris = tris.reshape(padded_slots // 8, 128)
-    else:
-        tris = jnp.zeros((slots, TRI_FIELDS), jnp.float32)
-        tris = tris.at[:, :9].set(corners)
-        tris = tris.at[:, 9].set(leaf_flat.astype(jnp.float32))
+    tris = jnp.zeros((slots, TRI_FIELDS), jnp.float32)
+    tris = tris.at[:, :9].set(corners)
+    tris = tris.at[:, 9].set(leaf_flat.astype(jnp.float32))
     return nodes, links, tris
 
 
 def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
-                     tris_in_vmem: bool = True, packet_rows: int = 8,
-                     count_steps: bool = False):
+                     packet_rows: int = 8, algo: str = "mt",
+                     queue: int = QUEUE, count_steps: bool = False):
     """o, d: (N, 3) with N a multiple of packet_rows*128."""
     n = o.shape[0]
     num_packets = n // (packet_rows * 128)
@@ -340,10 +280,9 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
-        leaf_size=bvh.leaf_size, tris_in_vmem=tris_in_vmem,
+        leaf_size=bvh.leaf_size, algo=algo, nq=queue,
         count_steps=count_steps,
     )
-    tri_space = pltpu.VMEM if tris_in_vmem else pltpu.ANY
     n_out = 3 if count_steps else 2
     out = pl.pallas_call(
         kernel,
@@ -351,7 +290,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         in_specs=[ray_spec] * 6 + [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes (flat)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # child links (flat)
-            pl.BlockSpec(memory_space=tri_space),    # tris: VMEM or HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # tris: HBM rows
         ],
         out_specs=[
             pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
@@ -362,8 +301,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((rows, 128), jnp.int32)] if count_steps else []),
         scratch_shapes=[
-            pltpu.VMEM((bvh.leaf_size, TRI_FIELDS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((queue, bvh.leaf_size, TRI_FIELDS), jnp.float32),
+            pltpu.SemaphoreType.DMA((queue,)),
         ],
         interpret=interpret,
     )(*comps, nodes, links, tris)
@@ -373,19 +312,10 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     return best_t.reshape(-1), best_i.reshape(-1)
 
 
-# VMEM budget for the lane-packed triangle table (~16 f32 per tri): scenes
-# above this fall back to the XLA traversal until the HBM-DMA kernel path
-# compiles on this toolchain.
-VMEM_TRI_BUDGET = 8 << 20  # bytes (73k tris verified compiling + fast on v5e)
-
 # SMEM budget for the flat node-box + child-link tables. Empirically a
 # 512 KB SMEM scratch compiles on this v5e toolchain and 1 MB does not;
 # leave headroom for the traversal stack and compiler-internal scalars.
 SMEM_NODE_BUDGET = 440 << 10  # bytes
-
-
-def fits_vmem(bvh) -> bool:
-    return bvh.num_leaves * bvh.leaf_size * 16 * 4 <= VMEM_TRI_BUDGET
 
 
 def fits_smem(bvh) -> bool:
@@ -396,7 +326,7 @@ def fits_smem(bvh) -> bool:
 def supported(bvh) -> bool:
     """Whole scene drivable by the Pallas kernel on this toolchain.
 
-    Only the SMEM node-table budget gates now: the triangle table lives in
+    Only the SMEM node-table budget gates: the triangle table lives in
     HBM (per-leaf DMA), so the tri count is unbounded. ``scene.commit``
     scales the LBVH leaf size so Sponza-class scenes stay under the node
     budget."""
@@ -404,27 +334,24 @@ def supported(bvh) -> bool:
 
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
-            packed=None, use_dma: bool = True) -> RayHit:
+            packed=None, algo: str = "mt") -> RayHit:
     """Closest-hit via the Pallas ordered-stack packet traversal.
 
     ``packed``: optional (boxes, links, tris) from :func:`pack_tables` to
     avoid re-packing per call (XLA CSEs repeated packing inside one jit,
-    but passing it is cheaper still). Default layout is the HBM triangle
-    table + per-leaf DMA + dense MT (measured 1.8-2.8x over the VMEM
-    one-hot-extract variant, any scene size); ``use_dma=False`` keeps the
-    legacy lane-packed VMEM table. Scenes whose node table exceeds SMEM
+    but passing it is cheaper still). ``algo`` selects the leaf
+    intersector: "mt" or "watertight" (TerraGeometry.c:25-31's switch,
+    honored inside the hot kernel). Scenes whose node table exceeds SMEM
     fall back to the XLA packet walk.
     """
     from . import traverse as xla_traverse
 
     bvh = scene.bvh
-    tris_in_vmem = not use_dma
-    too_big = (tris_in_vmem and not fits_vmem(bvh)) or not fits_smem(bvh)
-    if too_big and not interpret:
-        return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays)
+    if not fits_smem(bvh) and not interpret:
+        return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays, algo=algo)
     tri_a, tri_b, tri_c = scene.geometry.corners()
     if packed is None:
-        packed = pack_tables(bvh, tri_a, tri_b, tri_c, tris_in_vmem)
+        packed = pack_tables(bvh, tri_a, tri_b, tri_c)
     nodes, links, tris = packed
     n = o.shape[0]
 
@@ -441,7 +368,8 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
 
-    best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret, tris_in_vmem)
+    best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
+                                      algo=algo)
     best_t = best_t[:n]
     best_i = best_i[:n]
     if order is not None:

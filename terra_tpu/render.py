@@ -40,6 +40,21 @@ __all__ = ["render", "render_chunk", "trace", "make_raycast_fn"]
 
 EPS = np.float32(1e-4)
 
+# Canonical ray for terminated lanes: origin far outside any scene, so every
+# AABB/triangle test misses immediately. Dead lanes keep stale o/d otherwise
+# and still traverse the BVH; with this, the coherence sort clusters them
+# into all-dead packets whose traversal ends after the root pop (~2 node
+# visits) — masked-lane "compaction" without changing the estimator (every
+# downstream contribution is already gated on ``active``).
+_MISS_ORIGIN = np.float32(3.0e5)
+
+
+def _mask_dead_rays(active, o, d):
+    live = active[..., None]
+    o_q = jnp.where(live, o, _MISS_ORIGIN)
+    d_q = jnp.where(live, d, jnp.asarray([1.0, 0.0, 0.0], o.dtype))
+    return o_q, d_q
+
 
 def make_raycast_fn(scene: Scene, opts: RenderOptions):
     """Closest-hit raycast closure (terra_scene_raycast, Terra.c:1623-1657):
@@ -53,22 +68,21 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
         # Pallas ordered-stack kernel on TPU when the node table fits SMEM
         # (triangles stay in HBM and are DMA'd per leaf, so the tri count
         # is unbounded); XLA packet walk otherwise (and on CPU test meshes).
-        # The Pallas kernel hard-codes MT (its VMEM tiles are laid out for
-        # the fused MT chain), so WATERTIGHT routes to the XLA packet walk.
+        # Both intersectors run inside the kernel (the leaf test shares the
+        # component kernels with intersect.py).
         use_pallas = (
-            algo == "mt"
-            and jax.default_backend() not in ("cpu",)
+            jax.default_backend() not in ("cpu",)
             and pallas_traverse.supported(scene.bvh)
         )
         if use_pallas:
             packed = pallas_traverse.pack_tables(
-                scene.bvh, *scene.geometry.corners(), tris_in_vmem=False
+                scene.bvh, *scene.geometry.corners()
             )
 
             def raycast(o, d):
                 o = o + d * intersect.RAY_OFFSET_DIR
                 return pallas_traverse.raycast(scene, o, d, packed=packed,
-                                               use_dma=True)
+                                               algo=algo)
 
             return raycast
 
@@ -180,7 +194,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         def rng(_bounce, stream):
             return u[stream]
 
-        hit = raycast(o, d)
+        hit = raycast(*_mask_dead_rays(active, o, d))
         o_off = o + d * intersect.RAY_OFFSET_DIR
         surf = surface_init(scene, tables, o_off, d, hit.tri)
         wo = -d
@@ -310,7 +324,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         def rng(_bounce, stream):
             return u[stream]
 
-        hit = raycast(o, d)
+        hit = raycast(*_mask_dead_rays(active, o, d))
         o_off = o + d * intersect.RAY_OFFSET_DIR
         surf = surface_init(scene, tables, o_off, d, hit.tri)
         wo = -d

@@ -29,6 +29,7 @@ BSDF_E0, BSDF_E1, BSDF_E2 = 2, 3, 4
 ROULETTE = 5
 LIGHT_PICK, LIGHT_U, LIGHT_V = 6, 8, 9  # id 7 unassigned (see ops/rng.py)
 MIS_E0, MIS_E1, MIS_E2 = 10, 11, 12
+ENV_U, ENV_V = 13, 14
 
 _ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
 
@@ -142,9 +143,78 @@ class SceneNp:
         self.light_cdf = np.asarray(l.cdf, F32)
         self.light_num = int(np.asarray(l.num))
         self.env_value = np.asarray(scene.env_value, F32)
+        self.env_tex = int(np.asarray(scene.env_tex))
         self.tri_a = self.positions[self.tri_vidx[:, 0]]
         self.tri_b = self.positions[self.tri_vidx[:, 1]]
         self.tri_c = self.positions[self.tri_vidx[:, 2]]
+        t = scene.textures
+        self.num_textures = int(t.num_textures)
+        if self.num_textures:
+            self.tex_data = np.asarray(t.data, F32)
+            self.tex_size = np.asarray(t.size, np.int32)
+            self.tex_filter = np.asarray(t.filter, np.int32)
+            self.tex_address = np.asarray(t.address, np.int32)
+            self.attr_tex = np.asarray(m.attr_tex, np.int32)
+            self.emissive_tex = np.asarray(m.emissive_tex, np.int32)
+
+
+# ---------------------------------------------------------------- textures
+
+def _tex_address(coord, size, mode):
+    """NumPy twin of textures._address (wrap/mirror/clamp, Terra.c:368-394)."""
+    size = np.maximum(size, 1)
+    wrap = np.remainder(coord, size)
+    m = np.remainder(coord, 2 * size)
+    mirror = np.where(m >= size, 2 * size - 1 - m, m)
+    clamp = np.clip(coord, 0, size - 1)
+    return np.where(mode == 0, wrap, np.where(mode == 1, mirror, clamp))
+
+
+def _tex_read(sc: SceneNp, tex_id, x, y):
+    h = sc.tex_size[tex_id, 0]
+    w = sc.tex_size[tex_id, 1]
+    mode = sc.tex_address[tex_id]
+    x = _tex_address(x, w, mode)
+    y = _tex_address(y, h, mode)
+    return sc.tex_data[tex_id, y, x]
+
+
+def tex_sample(sc: SceneNp, tex_id, uv):
+    """NumPy twin of textures.sample (point/bilinear, Terra.c:410-466)."""
+    h = sc.tex_size[tex_id, 0].astype(F32)
+    w = sc.tex_size[tex_id, 1].astype(F32)
+    fx = (uv[..., 0] * w).astype(F32)
+    fy = (uv[..., 1] * h).astype(F32)
+    ix = np.floor(fx).astype(np.int32)
+    iy = np.floor(fy).astype(np.int32)
+    point = _tex_read(sc, tex_id, ix, iy)
+    n2 = _tex_read(sc, tex_id, ix + 1, iy)
+    n3 = _tex_read(sc, tex_id, ix, iy + 1)
+    n4 = _tex_read(sc, tex_id, ix + 1, iy + 1)
+    w_u = (fx - ix.astype(F32))[..., None]
+    w_v = (fy - iy.astype(F32))[..., None]
+    bilinear = ((point * (1 - w_u) + n2 * w_u) * (1 - w_v)
+                + (n3 * (1 - w_u) + n4 * w_u) * w_v).astype(F32)
+    filt = sc.tex_filter[tex_id][..., None]
+    return np.where(filt == 1, bilinear, point).astype(F32)
+
+
+def tex_sample_latlong(sc: SceneNp, tex_id, direction):
+    """NumPy twin of textures.sample_latlong (Terra.c:468-477)."""
+    d = normalize(direction)
+    theta = np.arccos(np.clip(d[..., 1], -1.0, 1.0)).astype(F32)
+    phi = (np.arctan2(d[..., 2], d[..., 0]) + PI).astype(F32)
+    u = phi / F32(2 * np.pi)
+    v = theta / PI
+    return tex_sample(sc, tex_id, np.stack([u, v], axis=-1))
+
+
+def env_radiance(sc: SceneNp, d):
+    """NumPy twin of envmap.radiance."""
+    const = np.broadcast_to(sc.env_value, d.shape).astype(F32)
+    if sc.num_textures == 0 or sc.env_tex < 0:
+        return const
+    return tex_sample_latlong(sc, np.full(d.shape[:-1], sc.env_tex, np.int32), d)
 
 
 def raycast(sc: SceneNp, o, d):
@@ -193,9 +263,24 @@ def surface_init(sc: SceneNp, o, d, tri):
     )
     mat = sc.mat_id[tri]
     tangent, bitangent = build_basis(normal)
+    attrs = sc.attrs[mat]
+    emissive = sc.emissive[mat]
+    if sc.num_textures > 0:
+        # texture-driven attributes override constants (surface._eval_attribute)
+        uvc = sc.uvs[tri]  # (N, 3, 2)
+        uv = (wa[..., None] * uvc[:, 0] + wb[..., None] * uvc[:, 1]
+              + wc[..., None] * uvc[:, 2]).astype(F32)
+        attrs = attrs.copy()
+        for s in range(attrs.shape[-2]):
+            tid = sc.attr_tex[mat, s]
+            tval = tex_sample(sc, np.maximum(tid, 0), uv)
+            attrs[..., s, :] = np.where((tid >= 0)[..., None], tval, attrs[..., s, :])
+        etid = sc.emissive_tex[mat]
+        eval_ = tex_sample(sc, np.maximum(etid, 0), uv)
+        emissive = np.where((etid >= 0)[..., None], eval_, emissive).astype(F32)
     return dict(
         point=point, normal=normal, tangent=tangent, bitangent=bitangent,
-        attrs=sc.attrs[mat], emissive=sc.emissive[mat], bsdf_type=sc.bsdf_type[mat],
+        attrs=attrs, emissive=emissive, bsdf_type=sc.bsdf_type[mat],
         ior=sc.ior[mat], t=t, mat=mat,
     )
 
@@ -250,6 +335,156 @@ def _glass_match(surf, wi, wo):
     return w, aligned_r | aligned_t
 
 
+def _lerp(a, b, t):
+    return (a + (b - a) * t).astype(F32)
+
+
+def _disney_params(surf):
+    """NumPy twin of bsdf._disney_params (slot layout TerraPresets.c:217-224)."""
+    a = surf["attrs"]
+    return (a[..., 0, :], a[..., 1, 0], a[..., 1, 1], a[..., 2, 0], a[..., 2, 1],
+            a[..., 3, 0], a[..., 3, 1], a[..., 4, 0], a[..., 4, 1],
+            a[..., 5, 0], a[..., 5, 1])
+
+
+def _gtr1_np(ndoth, a):
+    a2 = np.maximum(a * a, F32(1e-6))
+    t = np.maximum(1.0 + (a2 - 1.0) * ndoth * ndoth, F32(1e-8))
+    iso = np.full_like(ndoth, F32(1.0 / np.pi))
+    val = (1.0 - a2) / np.maximum(PI * (-np.log(a2)) * t, F32(1e-8))
+    return np.where(a >= 1.0, iso, val).astype(F32)
+
+
+def _gtr2_aniso_np(ndoth, hdx, hdy, ax, ay):
+    x = hdx / ax
+    y = hdy / ay
+    s = x * x + y * y + ndoth * ndoth
+    return (1.0 / np.maximum(PI * ax * ay * s * s, F32(1e-8))).astype(F32)
+
+
+def _smith_ggx_aniso_np(ndotv, vdx, vdy, ax, ay):
+    x = vdx * ax
+    y = vdy * ay
+    return (1.0 / np.maximum(ndotv + np.sqrt(x * x + y * y + ndotv * ndotv), F32(1e-8))).astype(F32)
+
+
+def _smith_ggx_np(ndotv, alpha_g):
+    a = alpha_g * alpha_g
+    b = ndotv * ndotv
+    return (1.0 / np.maximum(ndotv + np.sqrt(a + b - a * b), F32(1e-8))).astype(F32)
+
+
+def _disney_lobe_probs(surf):
+    a = surf["attrs"]
+    metalness = np.clip(a[..., 4, 0], 0.0, 1.0)
+    clearcoat = np.clip(a[..., 3, 0], 0.0, 1.0)
+    p_clear = 0.25 * clearcoat / (1.0 + clearcoat)
+    p_spec_inner = _lerp(F32(0.5), F32(1.0), metalness)
+    p_spec = (1.0 - p_clear) * p_spec_inner
+    p_diff = (1.0 - p_clear) * (1.0 - p_spec_inner)
+    return p_diff.astype(F32), p_spec.astype(F32), p_clear.astype(F32)
+
+
+def _disney_alphas(surf):
+    a = surf["attrs"]
+    roughness = np.clip(a[..., 4, 1], 0.0, 1.0)
+    anisotropic = np.clip(a[..., 5, 0], 0.0, 1.0)
+    clearcoat_gloss = np.clip(a[..., 3, 1], 0.0, 1.0)
+    aspect = np.sqrt(np.maximum(1.0 - anisotropic * 0.9, F32(1e-4))).astype(F32)
+    ax = np.maximum(F32(1e-3), roughness * roughness / aspect)
+    ay = np.maximum(F32(1e-3), roughness * roughness * aspect)
+    a_clear = _lerp(F32(0.1), F32(0.001), clearcoat_gloss)
+    return ax.astype(F32), ay.astype(F32), a_clear
+
+
+def _disney_sample(surf, e0, e1, e2, wo):
+    """NumPy twin of bsdf._disney_sample (3-lobe mixture)."""
+    p_diff, p_spec, _ = _disney_lobe_probs(surf)
+    ax, ay, a_clear = _disney_alphas(surf)
+    n, tx, bz = surf["normal"], surf["tangent"], surf["bitangent"]
+    wi_d = _cosine_hemisphere(surf, e0, e1)
+    phi = F32(2) * PI * e1
+    tanv = np.sqrt(e0 / np.maximum(1.0 - e0, F32(1e-7))).astype(F32)
+    hx = tanv * ax * np.cos(phi)
+    hz = tanv * ay * np.sin(phi)
+    h_spec = normalize(tx * hx[..., None].astype(F32) + n + bz * hz[..., None].astype(F32))
+    wi_s = normalize(reflect(wo, h_spec))
+    a2 = a_clear * a_clear
+    cos2 = ((1.0 - np.power(a2, 1.0 - e0)) / np.maximum(1.0 - a2, F32(1e-7))).astype(F32)
+    cos_t = np.sqrt(np.clip(cos2, 0.0, 1.0)).astype(F32)
+    sin_t = np.sqrt(np.maximum(0.0, 1.0 - cos2)).astype(F32)
+    local_h = np.stack([sin_t * np.cos(phi), cos_t, sin_t * np.sin(phi)], -1).astype(F32)
+    h_clear = normalize(to_world(local_h, tx, n, bz))
+    wi_c = normalize(reflect(wo, h_clear))
+    wi = np.where((e2 < p_diff)[..., None], wi_d,
+                  np.where((e2 < p_diff + p_spec)[..., None], wi_s, wi_c))
+    return wi.astype(F32)
+
+
+def _disney_pdf(surf, wi, wo):
+    p_diff, p_spec, p_clear = _disney_lobe_probs(surf)
+    ax, ay, a_clear = _disney_alphas(surf)
+    n = surf["normal"]
+    h = normalize(wi + wo)
+    noh = np.maximum(dot(n, h), F32(1e-6))
+    how = np.maximum(dot(h, wo), F32(1e-6))
+    ds = _gtr2_aniso_np(noh, dot(h, surf["tangent"]), dot(h, surf["bitangent"]), ax, ay)
+    dr = _gtr1_np(noh, a_clear)
+    pdf_spec = ds * noh / (4.0 * how)
+    pdf_clear = dr * noh / (4.0 * how)
+    return (p_diff * _diffuse_pdf(surf, wi) + p_spec * pdf_spec
+            + p_clear * pdf_clear).astype(F32)
+
+
+def _disney_eval(surf, wi, wo):
+    """NumPy twin of bsdf._disney_eval (TerraPresets.c:226-296)."""
+    (base_color, specular, specular_tint, sheen_p, sheen_tint, clearcoat,
+     clearcoat_gloss, metalness, roughness, anisotropic, subsurface) = _disney_params(surf)
+    n = surf["normal"]
+    ndotl = dot(n, wi)
+    ndotv = dot(n, wo)
+    behind = (ndotl < 0.0) | (ndotv < 0.0)
+    ndotl = np.maximum(ndotl, F32(1e-6))
+    ndotv = np.maximum(ndotv, F32(1e-6))
+    h = normalize(wi + wo)
+    ndoth = dot(n, h)
+    ldoth = dot(wi, h)
+    lum = 0.3 * base_color[..., 0] + 0.6 * base_color[..., 1] + 1.0 * base_color[..., 2]
+    tint = np.where((lum > 0.0)[..., None],
+                    base_color / np.maximum(lum, F32(1e-8))[..., None], F32(1.0)).astype(F32)
+    spec0 = _lerp(np.ones_like(base_color), tint, specular_tint[..., None])
+    spec0 = spec0 * (specular * F32(0.8))[..., None]
+    spec0 = _lerp(spec0, base_color, metalness[..., None])
+    sheen_c = _lerp(np.ones_like(base_color), tint, sheen_tint[..., None])
+    fl = _schlick_w(ndotl)
+    fv = _schlick_w(ndotv)
+    fd90 = 0.5 + 2.0 * ldoth * ldoth * roughness
+    fd = _lerp(F32(1.0), fd90, fl) * _lerp(F32(1.0), fd90, fv)
+    fss90 = ldoth * ldoth * roughness
+    fss = _lerp(F32(1.0), fss90, fl) * _lerp(F32(1.0), fss90, fv)
+    ss = 1.25 * (fss * (1.0 / (ndotl * ndotv) - 0.5) + 0.5)
+    aspect = np.sqrt(np.maximum(1.0 - anisotropic * 0.9, F32(1e-4))).astype(F32)
+    ax = np.maximum(F32(1e-3), roughness * roughness / aspect)
+    ay = np.maximum(F32(1e-3), roughness * roughness * aspect)
+    X = surf["tangent"]
+    Y = surf["bitangent"]
+    ds = _gtr2_aniso_np(ndoth, dot(h, X), dot(h, Y), ax, ay)
+    fh = _schlick_w(ldoth)
+    fs = _lerp(spec0, np.ones_like(spec0), fh[..., None])
+    gs = _smith_ggx_aniso_np(ndotl, dot(wi, X), dot(wi, Y), ax, ay)
+    gs = gs * _smith_ggx_aniso_np(ndotv, dot(wo, X), dot(wo, Y), ax, ay)
+    sheen = sheen_c * (fh * sheen_p)[..., None]
+    dr = _gtr1_np(ndoth, _lerp(F32(0.1), F32(0.001), clearcoat_gloss))
+    fr = _lerp(F32(0.04), F32(1.0), fh)
+    gr = _smith_ggx_np(ndotl, F32(0.25)) * _smith_ggx_np(ndotv, F32(0.25))
+    result_a = base_color * (F32(1.0 / np.pi) * _lerp(fd, ss, subsurface))[..., None]
+    result_a = (result_a + sheen) * (1.0 - metalness)[..., None]
+    result_b = fs * (gs * ds)[..., None]
+    result_c = (0.25 * clearcoat * gr * fr * dr)[..., None] * np.ones_like(result_b)
+    result = result_a + result_b + result_c
+    return np.where(behind[..., None], F32(0.0), result).astype(F32)
+
+
 def bsdf_sample(surf, e0, e1, e2, wo):
     ty = surf["bsdf_type"]
     wi_d = _cosine_hemisphere(surf, e0, e1)
@@ -290,6 +525,7 @@ def bsdf_sample(surf, e0, e1, e2, wo):
     wi = np.where((ty == 1)[..., None], wi_p, wi)
     wi = np.where((ty == 2)[..., None], wi_g, wi)
     wi = np.where((ty == 3)[..., None], wi_m, wi)
+    wi = np.where((ty == 4)[..., None], _disney_sample(surf, e0, e1, e2, wo), wi)
     wi = np.where((ty == 5)[..., None], wi_gl, wi)
     aux = np.where(ty == 1, lobe, F32(0))
     return wi, aux
@@ -329,6 +565,7 @@ def bsdf_pdf(surf, wi, wo, aux):
     out = np.where(ty == 1, p_ph, out)
     out = np.where(ty == 2, p_g.astype(F32), out)
     out = np.where(ty == 3, p_m, out)
+    out = np.where(ty == 4, _disney_pdf(surf, wi, wo), out)
     out = np.where(ty == 5, p_gl, out)
     return out.astype(F32)
 
@@ -383,8 +620,121 @@ def bsdf_eval(surf, wi, wo):
     out = np.where((ty == 1)[..., None], f_p, out)
     out = np.where((ty == 2)[..., None], f_g.astype(F32), out)
     out = np.where((ty == 3)[..., None], f_m.astype(F32), out)
+    out = np.where((ty == 4)[..., None], _disney_eval(surf, wi, wo), out)
     out = np.where((ty == 5)[..., None], f_gl.astype(F32), out)
     return out.astype(F32)
+
+
+# ------------------------------------------------------------------ env-NEE
+
+GRID_H, GRID_W = 64, 128  # must match envmap.GRID_H/GRID_W
+TWO_PI2 = F32(2.0 * np.pi * np.pi)
+
+
+class EnvDistNp:
+    """NumPy twin of envmap.build_distribution (marginal x conditionals)."""
+
+    def __init__(self, sc: SceneNp):
+        v = (np.arange(GRID_H, dtype=F32) + F32(0.5)) / F32(GRID_H)
+        u = (np.arange(GRID_W, dtype=F32) + F32(0.5)) / F32(GRID_W)
+        theta = v * PI
+        phi = u * F32(2) * PI - PI
+        sin_t = np.sin(theta)[:, None].astype(F32)
+        cos_t = np.cos(theta)[:, None].astype(F32)
+        dx = sin_t * np.cos(phi)[None, :].astype(F32)
+        dz = sin_t * np.sin(phi)[None, :].astype(F32)
+        dy = np.broadcast_to(cos_t, (GRID_H, GRID_W)).astype(F32)
+        dirs = np.stack([dx, dy, dz], axis=-1).astype(F32)
+        rad = env_radiance(sc, dirs.reshape(-1, 3)).reshape(GRID_H, GRID_W, 3)
+        lum = (F32(0.2126) * rad[..., 0] + F32(0.7152) * rad[..., 1]
+               + F32(0.0722) * rad[..., 2]).astype(F32)
+        f = (lum * sin_t).astype(F32)
+        floor = np.maximum(np.mean(f, dtype=F32), F32(1e-12)) * F32(1e-2)
+        f = (f + floor * sin_t).astype(F32)
+        # conditionals (per row) + marginal over row integrals (build_1d twin)
+        self.cond_f = f
+        c = np.cumsum(f, axis=-1, dtype=F32)
+        self.cond_integral = c[..., -1].astype(F32)
+        self.cond_cdf = (c / np.maximum(self.cond_integral, F32(1e-20))[..., None]).astype(F32)
+        cm = np.cumsum(self.cond_integral, axis=-1, dtype=F32)
+        self.marg_f = self.cond_integral
+        self.marg_integral = cm[-1].astype(F32)
+        self.marg_cdf = (cm / np.maximum(self.marg_integral, F32(1e-20))).astype(F32)
+
+
+def env_sample(dist: EnvDistNp, e1, e2):
+    """NumPy twin of envmap.sample via distributions.sample_2d."""
+    n_r = GRID_H
+    row = np.clip(np.searchsorted(dist.marg_cdf, e1, side="right"), 0, n_r - 1)
+    prev = np.where(row > 0, dist.marg_cdf[np.maximum(row - 1, 0)], F32(0.0))
+    curr = dist.marg_cdf[row]
+    frac = ((e1 - prev) / np.maximum(curr - prev, F32(1e-12))).astype(F32)
+    v = ((row.astype(F32) + frac) / F32(n_r)).astype(F32)
+    pdf_y = dist.marg_f[row] / np.maximum(dist.marg_integral, F32(1e-20))
+    cdf = dist.cond_cdf[row]  # (N, GRID_W)
+    n_c = GRID_W
+    idx = np.clip(np.sum((cdf < e2[..., None]).astype(np.int32), axis=-1), 0, n_c - 1)
+    prev_c = np.where(idx > 0, np.take_along_axis(cdf, np.maximum(idx - 1, 0)[..., None], -1)[..., 0], F32(0.0))
+    curr_c = np.take_along_axis(cdf, idx[..., None], -1)[..., 0]
+    frac_c = ((e2 - prev_c) / np.maximum(curr_c - prev_c, F32(1e-12))).astype(F32)
+    u = ((idx.astype(F32) + frac_c) / F32(n_c)).astype(F32)
+    fr = np.take_along_axis(dist.cond_f[row], idx[..., None], -1)[..., 0]
+    integ = dist.cond_integral[row]
+    pdf_x = fr / np.maximum(integ, F32(1e-20))
+    p_bucket = (pdf_y * pdf_x).astype(F32)
+    theta = v * PI
+    phi = u * F32(2) * PI - PI
+    sin_t = np.sin(theta).astype(F32)
+    wi = np.stack([sin_t * np.cos(phi), np.cos(theta), sin_t * np.sin(phi)], -1).astype(F32)
+    density_uv = p_bucket * F32(GRID_W * GRID_H)
+    pdf_w = (density_uv / np.maximum(TWO_PI2 * sin_t, F32(1e-6))).astype(F32)
+    return wi, pdf_w
+
+
+def env_pdf(dist: EnvDistNp, wi):
+    """NumPy twin of envmap.pdf (solid-angle pdf of arbitrary direction)."""
+    d = normalize(wi)
+    theta = np.arccos(np.clip(d[..., 1], -1.0, 1.0)).astype(F32)
+    phi = (np.arctan2(d[..., 2], d[..., 0]) + PI).astype(F32)
+    u = phi / (F32(2) * PI)
+    v = theta / PI
+    col = np.clip((u * GRID_W).astype(np.int32), 0, GRID_W - 1)
+    row = np.clip((v * GRID_H).astype(np.int32), 0, GRID_H - 1)
+    total = np.maximum(dist.marg_integral, F32(1e-20))
+    density_uv = dist.cond_f[row, col] * F32(GRID_W * GRID_H) / total
+    sin_t = np.maximum(np.sin(theta), F32(1e-6)).astype(F32)
+    return (density_uv / (TWO_PI2 * sin_t)).astype(F32)
+
+
+def _nee_env(sc, dist, key, pix, smp, bounce, surf, wo, want_weight, aux):
+    """NumPy twin of integrators._nee_env_strategy."""
+    e1 = uniform_np(key, pix, smp, bounce, ENV_U)
+    e2 = uniform_np(key, pix, smp, bounce, ENV_V)
+    wi, epdf = env_sample(dist, e1, e2)
+    nol = dot(wi, surf["normal"])
+    o_sh = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
+    t, tri_h, hit, _ = raycast(sc, o_sh, wi)
+    visible = (~hit) & (nol > 0) & (epdf > 0)
+    f = bsdf_eval(surf, wi, wo)
+    Le = env_radiance(sc, wi)
+    if want_weight:
+        bp = bsdf_pdf(surf, wi, wo, aux)
+        w = _power2_weight(epdf, bp)
+    else:
+        w = np.ones_like(epdf)
+    contrib = Le * f * (nol * w / np.where(visible, epdf, F32(1.0)))[..., None]
+    return np.where(visible[..., None], contrib, 0).astype(F32)
+
+
+def _mis_bsdf_env_term(sc, dist, surf, wo, wi, f, bp, hit):
+    """NumPy twin of integrators._mis_bsdf_env_term."""
+    epdf = env_pdf(dist, wi)
+    nol = dot(wi, surf["normal"])
+    ok = (~hit) & (bp > 0) & (nol > 0)
+    w = _power2_weight(bp, epdf)
+    Le = env_radiance(sc, wi)
+    contrib = Le * f * (nol * w / np.where(ok, bp, F32(1.0)))[..., None]
+    return np.where(ok[..., None], contrib, 0).astype(F32)
 
 
 # -------------------------------------------------------------- integrators
@@ -448,7 +798,7 @@ def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux, area_weighted=Fa
     return np.where(visible[..., None], contrib, 0).astype(F32), tri_l
 
 
-def _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l):
+def _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l, env_dist=None):
     e0 = uniform_np(key, pix, smp, bounce, MIS_E0)
     e1 = uniform_np(key, pix, smp, bounce, MIS_E1)
     e2 = uniform_np(key, pix, smp, bounce, MIS_E2)
@@ -469,7 +819,10 @@ def _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l):
     ok &= bp != 0
     nol = dot(wi, surf["normal"])
     contrib = hsurf["emissive"] * f * (nol * w / np.maximum(bp, 1e-20))[..., None]
-    return np.where(ok[..., None], contrib, 0).astype(F32)
+    contrib = np.where(ok[..., None], contrib, 0).astype(F32)
+    if env_dist is not None:
+        contrib = contrib + _mis_bsdf_env_term(sc, env_dist, surf, wo, wi, f, bp, hit)
+    return contrib
 
 
 def render_mirror(scene, camera, opts, seed=0):
@@ -522,6 +875,7 @@ def render_mirror(scene, camera, opts, seed=0):
     Lo = np.zeros((n, 3), F32)
     tp = np.ones((n, 3), F32)
     active = np.ones(n, bool)
+    env_dist = EnvDistNp(sc) if getattr(opts, "env_nee", False) else None
 
     for bounce in range(opts.bounces + 1):
         t, tri, hit, o_off = raycast(sc, o, d)
@@ -529,7 +883,9 @@ def render_mirror(scene, camera, opts, seed=0):
         wo = -d
         if opts.env_on_miss:
             miss = active & ~hit
-            Lo += np.where(miss[..., None], tp * sc.env_value, 0)
+            if env_dist is not None:
+                miss = miss & (bounce == 0)
+            Lo += np.where(miss[..., None], tp * env_radiance(sc, d), 0)
         active = active & hit
 
         integ = int(opts.integrator)
@@ -541,6 +897,8 @@ def render_mirror(scene, camera, opts, seed=0):
             facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
             Le0 = np.where(facing[..., None], surf["emissive"], 0)
             c, _ = _nee(sc, key, pix, smp, bounce, surf, wo, False, None, area_pick)
+            if env_dist is not None:
+                c = c + _nee_env(sc, env_dist, key, pix, smp, bounce, surf, wo, False, None)
             rad = (Le0 + c) * tp
         elif integ == 2:  # direct mis
             facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
@@ -550,8 +908,10 @@ def render_mirror(scene, camera, opts, seed=0):
             e2 = uniform_np(key, pix, smp, bounce, MIS_E2)
             _, aux = bsdf_sample(surf, e0, e1, e2, wo)
             lc, tri_l = _nee(sc, key, pix, smp, bounce, surf, wo, True, aux, area_pick)
-            bc = _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l)
+            bc = _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l, env_dist)
             rad = (Le0 + lc + bc) * tp
+            if env_dist is not None:
+                rad = rad + _nee_env(sc, env_dist, key, pix, smp, bounce, surf, wo, True, aux) * tp
         else:
             rad = np.zeros((n, 3), F32)
         Lo += np.where(active[..., None], rad, 0)

@@ -59,6 +59,94 @@ def test_golden_phong():
     assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < 5e-3
 
 
+def _compare_scene(scene, opts, seed=3, tol=2e-3, flip_budget=1.2e-2, energy_tol=5e-3):
+    cam = tt.scenes.cornell_camera()
+    film = tt.render(scene, cam, opts, seed=seed)
+    img_jax = np.asarray(film.mean())
+    img_np = mirror.render_mirror(scene, cam, opts, seed=seed)
+    rel = np.abs(img_jax - img_np) / np.maximum(np.abs(img_np), 1e-2)
+    frac_bad = (rel > tol).mean()
+    assert frac_bad <= flip_budget, (
+        f"{frac_bad:.4%} of pixels deviate; max rel {rel.max():.3e}, "
+        f"mean jax {img_jax.mean():.4f} vs np {img_np.mean():.4f}"
+    )
+    assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < energy_tol
+
+
+def test_golden_ggx_mis():
+    """GGX walls under the MIS integrator vs the oracle (VERDICT r1 item 4)."""
+    scene = tt.scenes.cornell_box(wall_bsdf=tt.BSDFType.GGX)
+    opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=8, bounces=2,
+                            integrator=tt.Integrator.DIRECT_MIS)
+    _compare_scene(scene, opts, seed=11)
+
+
+def test_golden_disney():
+    """Disney principled block (all lobes parameterized) vs the oracle."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    scene = tt.scenes.cornell_box(block_bsdf=tt.BSDFType.DISNEY)
+    attrs = np.asarray(scene.materials.attrs).copy()
+    # slot layout: base_color; [specular, tint]; [sheen, tint];
+    # [clearcoat, gloss]; [metal, rough]; [aniso, subsurface]
+    attrs[4, 0] = (0.7, 0.3, 0.2)
+    attrs[4, 1, :2] = (0.5, 0.2)
+    attrs[4, 2, :2] = (0.3, 0.5)
+    attrs[4, 3, :2] = (0.5, 0.7)
+    attrs[4, 4, :2] = (0.3, 0.5)
+    attrs[4, 5, :2] = (0.3, 0.2)
+    scene = dataclasses.replace(
+        scene,
+        materials=dataclasses.replace(scene.materials, attrs=jnp.asarray(attrs)),
+    )
+    opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=8, bounces=2,
+                            integrator=tt.Integrator.DIRECT)
+    _compare_scene(scene, opts, seed=13)
+
+
+@pytest.mark.parametrize("integrator", [tt.Integrator.DIRECT, tt.Integrator.DIRECT_MIS])
+def test_golden_env_nee(integrator):
+    """Environment next-event estimation vs the oracle twin."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    scene = tt.scenes.cornell_box(light_emission=4.0)
+    scene = dataclasses.replace(scene, env_value=jnp.asarray([0.4, 0.5, 0.7], jnp.float32))
+    opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=8, bounces=2,
+                            integrator=integrator, env_on_miss=True, env_nee=True)
+    _compare_scene(scene, opts, seed=17)
+
+
+def test_golden_textured():
+    """Texture-driven wall albedo (checker, bilinear) vs the oracle twin."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    scene = tt.scenes.cornell_box()
+    res = 8
+    yy, xx = np.mgrid[0:res, 0:res]
+    checker = np.where(((xx + yy) % 2 == 0)[..., None],
+                       np.asarray([0.8, 0.7, 0.2], np.float32),
+                       np.asarray([0.2, 0.3, 0.8], np.float32)).astype(np.float32)
+    atlas = tt.scene.TextureAtlas(
+        data=jnp.asarray(checker[None]),
+        size=jnp.asarray([[res, res]], jnp.int32),
+        filter=jnp.asarray([1], jnp.int32),   # bilinear
+        address=jnp.asarray([0], jnp.int32),  # wrap
+    )
+    attr_tex = np.asarray(scene.materials.attr_tex).copy()
+    attr_tex[0, 0] = 0  # white-wall diffuse albedo <- checker
+    scene = dataclasses.replace(
+        scene,
+        textures=atlas,
+        materials=dataclasses.replace(scene.materials, attr_tex=jnp.asarray(attr_tex)),
+    )
+    opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=8, bounces=2,
+                            integrator=tt.Integrator.DIRECT)
+    _compare_scene(scene, opts, seed=19)
+
+
 def test_golden_sampling_methods():
     for method in [tt.SamplingMethod.STRATIFIED, tt.SamplingMethod.HALTON]:
         opts = tt.RenderOptions(

@@ -47,24 +47,20 @@ def test_pallas_unsorted_matches_sorted():
 
 
 @pytest.mark.parametrize("tris", [33, 3000])
-def test_pallas_dma_matches_brute(tris):
-    """HBM-resident triangle table + per-leaf DMA + dense MT leaf test."""
+def test_pallas_watertight_matches_brute(tris):
+    """Wald2013 watertight leaf test inside the kernel vs the brute
+    watertight sweep (VERDICT r1 item 5: no silent MT fallback)."""
     scene = tt.scenes.random_triangles(tris, seed=tris, accelerator=tt.Accelerator.BVH)
     rng = np.random.default_rng(3)
     n = 2048
     o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
     d_ = rng.normal(size=(n, 3)).astype(np.float32)
     d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
-    hit_p = pallas_traverse.raycast(scene, o, d, interpret=True, use_dma=True)
+    hit_p = pallas_traverse.raycast(scene, o, d, interpret=True, algo="watertight")
     ta, tb, tc = scene.geometry.corners()
-    hit_r = intersect.raycast_brute(o, d, ta, tb, tc)
+    hit_r = intersect.raycast_brute(o, d, ta, tb, tc, algo="watertight")
     np.testing.assert_array_equal(np.asarray(hit_p.hit), np.asarray(hit_r.hit))
     both = np.asarray(hit_p.hit) & np.asarray(hit_r.hit)
     np.testing.assert_allclose(
         np.asarray(hit_p.t)[both], np.asarray(hit_r.t)[both], rtol=1e-4
     )
-
-
-def test_vmem_budget_gate():
-    small = tt.scenes.random_triangles(100, seed=1, accelerator=tt.Accelerator.BVH)
-    assert pallas_traverse.fits_vmem(small.bvh)
