@@ -28,6 +28,8 @@ def main():
                     help="rebuild the BVH with this leaf size (0 = scene default)")
     ap.add_argument("--queue", type=int, default=0,
                     help="leaf-DMA queue depth (0 = kernel default)")
+    ap.add_argument("--builder", default="", choices=["", "sah", "lbvh"],
+                    help="rebuild the BVH with this builder")
     ap.add_argument("--algo", default="mt", choices=["mt", "watertight"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -44,11 +46,13 @@ def main():
     from terra_tpu.accel import traverse as xla_traverse
 
     scene = tt.scenes.courtyard(grid=args.grid, columns=args.columns)
-    if args.leaf_size:
+    if args.leaf_size or args.builder:
         import dataclasses
         from terra_tpu.accel import lbvh
         scene = dataclasses.replace(
-            scene, bvh=lbvh.build(scene.geometry, leaf_size=args.leaf_size))
+            scene, bvh=lbvh.build(scene.geometry,
+                                  leaf_size=args.leaf_size or None,
+                                  builder=args.builder or "sah"))
     bvh = scene.bvh
     ntri = scene.geometry.tri_vidx.shape[0]
     queue = args.queue or pt.QUEUE

@@ -170,12 +170,18 @@ def _karras_tree(codes: np.ndarray):
     return left, right
 
 
-def build(geometry, leaf_size: int | None = None) -> LBVH:
-    """Host-side LBVH build from a Geometry (SURVEY.md §7 step 5).
+def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
+    """Host-side BVH build from a Geometry (SURVEY.md §7 step 5).
 
-    Uses the native C++ builder (terra_tpu.native) when available — the
-    scene-build hot path stays native like the reference's (TerraBVH.c) —
-    with a vectorized NumPy fallback.
+    ``builder`` selects the native C++ builder (terra_tpu.native):
+      "sah"  — binned SAH, 16 bins x 3 axes (default; the reference's
+               builder is a sweep SAH, TerraBVH.c:79-126 — x-axis-only,
+               which this strictly improves on). Leaves hold
+               [leaf_size/2, leaf_size] triangles, padded by repetition.
+      "lbvh" — Morton cluster LBVH (faster build; use for per-frame
+               rebuilds of dynamic geometry).
+    Falls back to the vectorized NumPy LBVH when the native library is
+    unavailable.
 
     ``leaf_size=None`` auto-scales: the default leaf grows (in steps of 8,
     the dense-MT chunk width) until the flat node tables fit the Pallas
@@ -183,20 +189,32 @@ def build(geometry, leaf_size: int | None = None) -> LBVH:
     on the fast kernel instead of the XLA fallback."""
     pos = np.asarray(geometry.positions)
     vidx = np.asarray(geometry.tri_vidx)
-    if leaf_size is None:
-        from . import pallas_traverse as _pt
+    from .. import native
+    from . import pallas_traverse as _pt
 
+    def _node_bytes(leaves):
+        return (2 * leaves - 1) * 24 + max(leaves - 1, 1) * 8
+
+    use_sah = builder == "sah" and native.available()
+    auto = leaf_size is None
+    if auto:
         leaf_size = DEFAULT_LEAF_SIZE
-        # node table bytes ~= (2L-1)*24 + max(L-1,1)*8 for L leaves
+        # first estimate from ceil(T/L); SAH may produce up to 2x (half-full
+        # leaves) — the actual count is re-checked after the build below
         while leaf_size < 1024:
             leaves = max((len(vidx) + leaf_size - 1) // leaf_size, 1)
-            if (2 * leaves - 1) * 24 + max(leaves - 1, 1) * 8 <= _pt.SMEM_NODE_BUDGET:
+            if _node_bytes(leaves) <= _pt.SMEM_NODE_BUDGET:
                 break
             leaf_size += 8
 
-    from .. import native
-
-    nat = native.lbvh_build(pos, vidx, leaf_size)
+    nat = native.sah_build(pos, vidx, leaf_size) if use_sah else native.lbvh_build(pos, vidx, leaf_size)
+    while (auto and use_sah and nat is not None and leaf_size < 1024
+           and _node_bytes(nat["num_leaves"]) > _pt.SMEM_NODE_BUDGET):
+        # data-dependent SAH leaf count overflowed the kernel's SMEM node
+        # budget: grow leaves and rebuild (native build is ~100ms at 300k
+        # tris, so the retry is cheap)
+        leaf_size += 8
+        nat = native.sah_build(pos, vidx, leaf_size)
     if nat is not None:
         c = nat["num_leaves"]
         return LBVH(

@@ -56,7 +56,12 @@ def _autoload_scene_config(cfg: Config) -> Optional[str]:
 
 def _build_scene(cfg: Config, args):
     if getattr(args, "cornell", False) or not cfg.get("scene"):
-        scene = scenes.cornell_box(accelerator=Accelerator.BRUTE)
+        # honor the configured accelerator; default remains BRUTE (fastest
+        # for a 36-tri scene) unless the user asked for the BVH explicitly
+        accel = Accelerator.BRUTE
+        if any("render_accelerator" in p for p in (getattr(args, "opt", None) or [])):
+            accel = cfg.get("render_accelerator")
+        scene = scenes.cornell_box(accelerator=accel)
         cam = scenes.cornell_camera()
         return scene, cam
     from .io.obj import load_obj
@@ -66,6 +71,7 @@ def _build_scene(cfg: Config, args):
         geom, mats, textures=atlas,
         env_value=cfg.get("envmap_color"),
         accelerator=cfg.get("render_accelerator"),
+        bvh_builder=cfg.get("render_bvh_builder"),
     )
     return scene, cfg.camera()
 
@@ -118,15 +124,24 @@ def cmd_render(args) -> int:
         except FileNotFoundError:
             log.info("no checkpoint at %s; starting fresh", args.checkpoint)
 
+    import time as _time
+
+    from .profile import device_trace, ray_count
+
     passes = max(args.passes, 1)
-    for i in range(passes):
-        with profiler.clock("render"):
-            film = render(scene, cam, opts, seed=seed, film=film)
-            film.acc.block_until_ready()
-        if args.checkpoint:
-            save_render_state(args.checkpoint, film, seed)
-        spp_done = int(np.asarray(film.samples).max())
-        log.info("pass %d/%d done (%d spp total)", i + 1, passes, spp_done)
+    with device_trace(getattr(args, "trace", None)):
+        for i in range(passes):
+            t0 = _time.perf_counter()
+            with profiler.clock("render"):
+                film = render(scene, cam, opts, seed=seed, film=film)
+                film.acc.block_until_ready()
+            dt = _time.perf_counter() - t0
+            # nominal rays (upper bound: no early termination) per pass
+            profiler.add_sample("render_mrays", ray_count(opts) / dt / 1e6)
+            if args.checkpoint:
+                save_render_state(args.checkpoint, film, seed)
+            spp_done = int(np.asarray(film.samples).max())
+            log.info("pass %d/%d done (%d spp total)", i + 1, passes, spp_done)
 
     img = develop(film, opts.tonemap, opts.manual_exposure, opts.gamma)
     if args.output:
@@ -137,6 +152,11 @@ def cmd_render(args) -> int:
     if args.save_config:
         cfg.save(args.save_config)
     if args.stats:
+        # per-stage device timings (reference: render/trace/ray/ray-tri
+        # profile targets, TerraPresets.h:54-60)
+        from .profile import stage_breakdown
+
+        stage_breakdown(scene, cam, opts, seed=seed)
         print(profiler.report())
     return 0
 
@@ -332,6 +352,8 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", help="render-state checkpoint path (.npz)")
     pr.add_argument("--resume", action="store_true", help="resume from checkpoint if present")
     pr.add_argument("--stats", action="store_true", help="print profiler stats")
+    pr.add_argument("--trace", metavar="DIR", default=None,
+                    help="record a jax.profiler device trace into DIR")
     pr.set_defaults(func=cmd_render)
 
     po = sub.add_parser("opt-list", help="list all options")

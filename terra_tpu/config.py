@@ -76,6 +76,7 @@ OPTIONS: Dict[str, OptionSpec] = {
         OptionSpec("render_tonemap", "none|linear|reinhard|filmic|uncharted2", lambda s: _TONEMAP[s.lower()], Tonemap.NONE),
         OptionSpec("render_sampler", "random|stratified|halton", lambda s: _SAMPLER[s.lower()], SamplingMethod.RANDOM),
         OptionSpec("render_accelerator", "bvh|brute", lambda s: _ACCEL[s.lower()], Accelerator.BVH),
+        OptionSpec("render_bvh_builder", "sah|lbvh BVH build algorithm", lambda s: s.lower(), "sah"),
         OptionSpec("render_intersector", "mt|watertight", lambda s: _INTERSECTOR[s.lower()], Intersector.MT),
         OptionSpec("render_integrator", "simple|direct|direct-mis|debug-*", lambda s: _INTEGRATOR[s.lower()], Integrator.DIRECT_MIS),
         OptionSpec("render_jitter", "Subpixel jitter amplitude", float, 0.0),

@@ -121,7 +121,7 @@ def mt_components(oc, dc, ac, bc, cc, eps: float = 1e-4):
     t = inv * (e2x * qx + e2y * qy + e2z * qz)
     valid = (
         (jnp.abs(det) > eps)
-        & (u >= 0.0) & (u <= 1.0)
+        & (u >= 0.0)           # u <= 1 is implied by v >= 0 & u + v <= 1
         & (v >= 0.0) & (u + v <= 1.0)
         & (t > eps)
     )

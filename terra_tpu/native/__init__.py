@@ -43,6 +43,7 @@ def _load() -> Optional[ctypes.CDLL]:
             )
         lib = ctypes.CDLL(_LIB)
         lib.terra_lbvh_build.restype = ctypes.c_int
+        lib.terra_sah_build.restype = ctypes.c_int
         lib.terra_obj_count.restype = ctypes.c_int
         lib.terra_obj_parse.restype = ctypes.c_int
         _lib = lib
@@ -96,6 +97,50 @@ def lbvh_build(positions: np.ndarray, tri_vidx: np.ndarray, leaf_size: int):
         box_min=box_min, box_max=box_max,
         dfs_next=dfs_next, dfs_skip=dfs_skip, tri_order=tri_order,
         num_leaves=c,
+    )
+
+
+def sah_build(positions: np.ndarray, tri_vidx: np.ndarray, leaf_size: int):
+    """Native binned-SAH build (16 bins x 3 axes, uniform padded leaves in
+    [leaf_size/2, leaf_size]). Returns the accel.lbvh.LBVH array dict (with
+    the data-dependent actual leaf count) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    tri_vidx = np.ascontiguousarray(tri_vidx, np.int32)
+    t = len(tri_vidx)
+    c_max = max(2 * ((t + leaf_size - 1) // leaf_size), 1)
+    nn_max = 2 * c_max - 1
+    leaf_tri = np.zeros((c_max, leaf_size), np.int32)
+    left = np.zeros((c_max - 1 or 1,), np.int32)
+    right = np.zeros((c_max - 1 or 1,), np.int32)
+    box_min = np.zeros((nn_max, 3), np.float32)
+    box_max = np.zeros((nn_max, 3), np.float32)
+    dfs_next = np.zeros((nn_max,), np.int32)
+    dfs_skip = np.zeros((nn_max,), np.int32)
+    tri_order = np.zeros((t,), np.int32)
+    num_leaves = ctypes.c_int64()
+    rc = lib.terra_sah_build(
+        _ptr(positions, ctypes.c_float), ctypes.c_int64(len(positions)),
+        _ptr(tri_vidx, ctypes.c_int32), ctypes.c_int64(t),
+        ctypes.c_int(leaf_size),
+        _ptr(leaf_tri, ctypes.c_int32),
+        _ptr(left, ctypes.c_int32), _ptr(right, ctypes.c_int32),
+        _ptr(box_min, ctypes.c_float), _ptr(box_max, ctypes.c_float),
+        _ptr(dfs_next, ctypes.c_int32), _ptr(dfs_skip, ctypes.c_int32),
+        _ptr(tri_order, ctypes.c_int32),
+        ctypes.byref(num_leaves),
+    )
+    if rc != 0:
+        return None
+    c = int(num_leaves.value)
+    ni = c - 1
+    return dict(
+        leaf_tri=leaf_tri[:c], left=left[:max(ni, 0)], right=right[:max(ni, 0)],
+        box_min=box_min[:ni + c], box_max=box_max[:ni + c],
+        dfs_next=dfs_next[:ni + c], dfs_skip=dfs_skip[:ni + c],
+        tri_order=tri_order, num_leaves=c,
     )
 
 

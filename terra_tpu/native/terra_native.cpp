@@ -190,6 +190,353 @@ int terra_lbvh_build(
     return 0;
 }
 
+// ----------------------------------------------------------- binned SAH
+
+namespace {
+
+struct SahCtx {
+    const float* pos;
+    const int32_t* vidx;
+    int64_t T;
+    int leaf_size;
+    int64_t min_side;        // balance floor: both split sides >= this
+    // per-triangle precomputed AABBs + centroids (in tri-id order)
+    std::vector<float> tmin, tmax, cen;  // (T,3) each
+    std::vector<int32_t> order;          // permutation being partitioned
+    // outputs (worst-case allocated by caller)
+    int32_t* leaf_tri;
+    int32_t* left;
+    int32_t* right;
+    float* box_min;          // (ni_max + C_max, 3) — unified ids use actual ni
+    float* box_max;
+    int32_t* dfs_next;
+    int32_t* dfs_skip;
+    int64_t ni;              // actual internal count (= num_leaves - 1)
+    int32_t next_internal = 0;
+    int32_t next_leaf = 0;
+};
+
+struct Box {
+    float lo[3] = {1e38f, 1e38f, 1e38f};
+    float hi[3] = {-1e38f, -1e38f, -1e38f};
+    void grow(const float* a, const float* b) {
+        for (int k = 0; k < 3; ++k) {
+            lo[k] = std::min(lo[k], a[k]);
+            hi[k] = std::max(hi[k], b[k]);
+        }
+    }
+    void grow(const Box& o) { grow(o.lo, o.hi); }
+    float area() const {
+        float dx = std::max(hi[0] - lo[0], 0.0f);
+        float dy = std::max(hi[1] - lo[1], 0.0f);
+        float dz = std::max(hi[2] - lo[2], 0.0f);
+        return dx * dy + dy * dz + dz * dx;
+    }
+};
+
+constexpr int SAH_BINS = 16;
+
+// Returns unified node id (internal < ni, leaf >= ni), threading preorder
+// links and filling boxes bottom-up. cont = preorder successor of the
+// whole subtree (-1 at the end).
+static int32_t sah_range(SahCtx& B, int64_t lo, int64_t hi, int32_t cont,
+                         Box* out_box) {
+    const int64_t n = hi - lo;
+    // centroid bounds + range box
+    Box cb, rb;
+    for (int64_t i = lo; i < hi; ++i) {
+        int32_t t = B.order[i];
+        rb.grow(&B.tmin[t * 3], &B.tmax[t * 3]);
+        cb.grow(&B.cen[t * 3], &B.cen[t * 3]);
+    }
+    bool make_leaf = n <= B.leaf_size;
+    int best_axis = -1, best_bin = -1;
+    float best_cost = 1e38f;
+    float cb_ext[3], cb_inv[3];
+    // balance floor: keeps leaves >= leaf_size/2 full AND bounds the
+    // recursion depth (both sides >= n/16 => depth = O(log n))
+    const int64_t min_side = std::max(B.min_side, n / 16);
+    if (!make_leaf) {
+        for (int k = 0; k < 3; ++k) {
+            cb_ext[k] = cb.hi[k] - cb.lo[k];
+            cb_inv[k] = cb_ext[k] > 1e-12f ? SAH_BINS / cb_ext[k] : 0.0f;
+        }
+        // binned SAH over all 3 axes (the reference sweeps x only,
+        // TerraBVH.c:79-126; full-axis binning builds strictly better trees)
+        for (int axis = 0; axis < 3; ++axis) {
+            if (cb_inv[axis] == 0.0f) continue;
+            int cnt[SAH_BINS] = {0};
+            Box bins[SAH_BINS];
+            for (int64_t i = lo; i < hi; ++i) {
+                int32_t t = B.order[i];
+                int b = (int)((B.cen[t * 3 + axis] - cb.lo[axis]) * cb_inv[axis]);
+                b = std::min(std::max(b, 0), SAH_BINS - 1);
+                ++cnt[b];
+                bins[b].grow(&B.tmin[t * 3], &B.tmax[t * 3]);
+            }
+            // suffix areas/counts
+            float rarea[SAH_BINS];
+            int64_t rcnt[SAH_BINS];
+            Box acc;
+            int64_t c = 0;
+            for (int b = SAH_BINS - 1; b > 0; --b) {
+                acc.grow(bins[b]);
+                c += cnt[b];
+                rarea[b] = acc.area();
+                rcnt[b] = c;
+            }
+            // prefix sweep
+            Box lacc;
+            int64_t lcnt = 0;
+            for (int b = 0; b < SAH_BINS - 1; ++b) {
+                lacc.grow(bins[b]);
+                lcnt += cnt[b];
+                int64_t rc = rcnt[b + 1];
+                if (lcnt < min_side || rc < min_side) continue;
+                float cost = lacc.area() * lcnt + rarea[b + 1] * rc;
+                if (cost < best_cost) {
+                    best_cost = cost;
+                    best_axis = axis;
+                    best_bin = b;
+                }
+            }
+        }
+        if (best_axis < 0) {
+            // no balanced SAH split available: median split on widest axis
+            int axis = 0;
+            for (int k = 1; k < 3; ++k)
+                if (cb_ext[k] > cb_ext[axis]) axis = k;
+            std::nth_element(
+                B.order.begin() + lo, B.order.begin() + lo + n / 2,
+                B.order.begin() + hi,
+                [&](int32_t a, int32_t b) {
+                    return B.cen[a * 3 + axis] < B.cen[b * 3 + axis];
+                });
+            best_axis = -2;  // marker: already partitioned at lo + n/2
+        }
+    }
+
+    if (make_leaf) {
+        int32_t leaf = B.next_leaf++;
+        int32_t id = (int32_t)(B.ni + leaf);
+        for (int s = 0; s < B.leaf_size; ++s) {
+            int64_t src = lo + std::min<int64_t>(s, n - 1);  // pad w/ last tri
+            B.leaf_tri[(int64_t)leaf * B.leaf_size + s] = B.order[src];
+        }
+        for (int k = 0; k < 3; ++k) {
+            B.box_min[id * 3 + k] = rb.lo[k];
+            B.box_max[id * 3 + k] = rb.hi[k];
+        }
+        B.dfs_next[id] = cont;
+        B.dfs_skip[id] = cont;
+        *out_box = rb;
+        return id;
+    }
+
+    int64_t mid;
+    if (best_axis == -2) {
+        mid = lo + n / 2;
+    } else {
+        auto it = std::partition(
+            B.order.begin() + lo, B.order.begin() + hi,
+            [&](int32_t t) {
+                int b = (int)((B.cen[t * 3 + best_axis] - cb.lo[best_axis]) *
+                              cb_inv[best_axis]);
+                b = std::min(std::max(b, 0), SAH_BINS - 1);
+                return b <= best_bin;
+            });
+        mid = it - B.order.begin();
+        if (mid <= lo || mid >= hi) mid = lo + n / 2;  // numeric edge guard
+    }
+
+    int32_t id = B.next_internal++;
+    Box rbox, lbox;
+    int32_t r = sah_range(B, mid, hi, cont, &rbox);
+    int32_t l = sah_range(B, lo, mid, r, &lbox);
+    B.left[id] = l;
+    B.right[id] = r;
+    B.dfs_next[id] = l;
+    B.dfs_skip[id] = cont;
+    for (int k = 0; k < 3; ++k) {
+        B.box_min[id * 3 + k] = std::min(lbox.lo[k], rbox.lo[k]);
+        B.box_max[id * 3 + k] = std::max(lbox.hi[k], rbox.hi[k]);
+    }
+    *out_box = lbox;
+    out_box->grow(rbox);
+    return id;
+}
+
+// Count leaves of the SAH recursion WITHOUT building (to size the unified
+// id space before emitting node ids). Mirrors sah_range's split decisions
+// exactly — both must stay in lockstep.
+static int64_t sah_count(SahCtx& B, int64_t lo, int64_t hi);
+
+}  // namespace
+
+// Binned-SAH BVH with uniform padded leaves (the reference's builder is a
+// sweep SAH on x only, TerraBVH.c:79-126; this is the standard 16-bin
+// 3-axis version). Leaves hold [leaf_size/2, leaf_size] triangles (padded
+// by repetition), so caller allocates for C_max = max(2*ceil(T/L), 1):
+//   leaf_tri (C_max*L), left/right (C_max-1), box_min/max ((2*C_max-1)*3),
+//   dfs_next/skip (2*C_max-1), tri_order (T).
+// Writes the actual leaf count to *num_leaves_out. Returns 0 on success.
+int terra_sah_build(
+    const float* positions, int64_t num_vertices,
+    const int32_t* tri_vidx, int64_t num_tris,
+    int leaf_size,
+    int32_t* leaf_tri,
+    int32_t* left, int32_t* right,
+    float* box_min, float* box_max,
+    int32_t* dfs_next, int32_t* dfs_skip,
+    int32_t* tri_order,
+    int64_t* num_leaves_out) {
+    (void)num_vertices;
+    if (num_tris <= 0 || leaf_size <= 0) return 1;
+    SahCtx B;
+    B.pos = positions;
+    B.vidx = tri_vidx;
+    B.T = num_tris;
+    B.leaf_size = leaf_size;
+    B.min_side = std::max<int64_t>((leaf_size + 1) / 2, 1);
+    B.leaf_tri = leaf_tri;
+    B.left = left;
+    B.right = right;
+    B.box_min = box_min;
+    B.box_max = box_max;
+    B.dfs_next = dfs_next;
+    B.dfs_skip = dfs_skip;
+
+    B.tmin.resize(num_tris * 3);
+    B.tmax.resize(num_tris * 3);
+    B.cen.resize(num_tris * 3);
+    B.order.resize(num_tris);
+    for (int64_t t = 0; t < num_tris; ++t) {
+        B.order[t] = (int32_t)t;
+        float lo[3] = {1e38f, 1e38f, 1e38f}, hi[3] = {-1e38f, -1e38f, -1e38f};
+        for (int k = 0; k < 3; ++k) {
+            const float* p = positions + (int64_t)tri_vidx[t * 3 + k] * 3;
+            for (int a = 0; a < 3; ++a) {
+                lo[a] = std::min(lo[a], p[a]);
+                hi[a] = std::max(hi[a], p[a]);
+            }
+        }
+        for (int a = 0; a < 3; ++a) {
+            B.tmin[t * 3 + a] = lo[a];
+            B.tmax[t * 3 + a] = hi[a];
+            B.cen[t * 3 + a] = 0.5f * (lo[a] + hi[a]);
+        }
+    }
+
+    // Pass 1: count leaves (identical split logic) to fix the id split.
+    std::vector<int32_t> saved_order = B.order;
+    int64_t C = sah_count(B, 0, num_tris);
+    B.order = saved_order;
+    B.ni = C - 1;
+    *num_leaves_out = C;
+
+    if (C == 1) {
+        Box rb;
+        for (int64_t i = 0; i < num_tris; ++i)
+            rb.grow(&B.tmin[i * 3], &B.tmax[i * 3]);
+        for (int s = 0; s < leaf_size; ++s)
+            leaf_tri[s] = B.order[std::min<int64_t>(s, num_tris - 1)];
+        for (int k = 0; k < 3; ++k) {
+            box_min[k] = rb.lo[k];
+            box_max[k] = rb.hi[k];
+        }
+        dfs_next[0] = -1;
+        dfs_skip[0] = -1;
+        for (int64_t t = 0; t < num_tris; ++t) tri_order[t] = B.order[t];
+        return 0;
+    }
+
+    Box root;
+    sah_range(B, 0, num_tris, -1, &root);
+    for (int64_t t = 0; t < num_tris; ++t) tri_order[t] = B.order[t];
+    return (B.next_leaf == C && B.next_internal == (int32_t)B.ni) ? 0 : 2;
+}
+
+namespace {
+
+static int64_t sah_count(SahCtx& B, int64_t lo, int64_t hi) {
+    const int64_t n = hi - lo;
+    if (n <= B.leaf_size) return 1;
+    const int64_t min_side = std::max(B.min_side, n / 16);
+    Box cb;
+    for (int64_t i = lo; i < hi; ++i)
+        cb.grow(&B.cen[B.order[i] * 3], &B.cen[B.order[i] * 3]);
+    float cb_ext[3], cb_inv[3];
+    for (int k = 0; k < 3; ++k) {
+        cb_ext[k] = cb.hi[k] - cb.lo[k];
+        cb_inv[k] = cb_ext[k] > 1e-12f ? SAH_BINS / cb_ext[k] : 0.0f;
+    }
+    int best_axis = -1, best_bin = -1;
+    float best_cost = 1e38f;
+    for (int axis = 0; axis < 3; ++axis) {
+        if (cb_inv[axis] == 0.0f) continue;
+        int cnt[SAH_BINS] = {0};
+        Box bins[SAH_BINS];
+        for (int64_t i = lo; i < hi; ++i) {
+            int32_t t = B.order[i];
+            int b = (int)((B.cen[t * 3 + axis] - cb.lo[axis]) * cb_inv[axis]);
+            b = std::min(std::max(b, 0), SAH_BINS - 1);
+            ++cnt[b];
+            bins[b].grow(&B.tmin[t * 3], &B.tmax[t * 3]);
+        }
+        float rarea[SAH_BINS];
+        int64_t rcnt[SAH_BINS];
+        Box acc;
+        int64_t c = 0;
+        for (int b = SAH_BINS - 1; b > 0; --b) {
+            acc.grow(bins[b]);
+            c += cnt[b];
+            rarea[b] = acc.area();
+            rcnt[b] = c;
+        }
+        Box lacc;
+        int64_t lcnt = 0;
+        for (int b = 0; b < SAH_BINS - 1; ++b) {
+            lacc.grow(bins[b]);
+            lcnt += cnt[b];
+            int64_t rc = rcnt[b + 1];
+            if (lcnt < min_side || rc < min_side) continue;
+            float cost = lacc.area() * lcnt + rarea[b + 1] * rc;
+            if (cost < best_cost) {
+                best_cost = cost;
+                best_axis = axis;
+                best_bin = b;
+            }
+        }
+    }
+    int64_t mid;
+    if (best_axis < 0) {
+        int axis = 0;
+        for (int k = 1; k < 3; ++k)
+            if (cb_ext[k] > cb_ext[axis]) axis = k;
+        std::nth_element(
+            B.order.begin() + lo, B.order.begin() + lo + n / 2,
+            B.order.begin() + hi,
+            [&](int32_t a, int32_t b) {
+                return B.cen[a * 3 + axis] < B.cen[b * 3 + axis];
+            });
+        mid = lo + n / 2;
+    } else {
+        auto it = std::partition(
+            B.order.begin() + lo, B.order.begin() + hi,
+            [&](int32_t t) {
+                int b = (int)((B.cen[t * 3 + best_axis] - cb.lo[best_axis]) *
+                              cb_inv[best_axis]);
+                b = std::min(std::max(b, 0), SAH_BINS - 1);
+                return b <= best_bin;
+            });
+        mid = it - B.order.begin();
+        if (mid <= lo || mid >= hi) mid = lo + n / 2;
+    }
+    return sah_count(B, lo, mid) + sah_count(B, mid, hi);
+}
+
+}  // namespace
+
 // ------------------------------------------------------------- OBJ parse
 
 // Pass 1: count records. Returns 0 on success.

@@ -464,14 +464,19 @@ def commit(
     env_tex: int = -1,
     accelerator: Accelerator = Accelerator.BRUTE,
     light_capacity: Optional[int] = None,
+    bvh_builder: str = "sah",
 ) -> Scene:
     """Build a committed :class:`Scene` (terra_scene_commit equivalent,
-    Terra.c:162-236): light table scan + optional BVH build."""
+    Terra.c:162-236): light table scan + optional BVH build.
+
+    ``bvh_builder``: "sah" (binned SAH — the reference's builder family,
+    TerraBVH.c:79-126; best traversal speed) or "lbvh" (Morton — fastest
+    rebuilds for dynamic geometry)."""
     bvh = None
     if accelerator == Accelerator.BVH:
         from .accel import lbvh
 
-        bvh = lbvh.build(geometry)
+        bvh = lbvh.build(geometry, builder=bvh_builder)
     # Record which BSDF lobes the scene uses (static dispatch specialization).
     used = np.unique(np.asarray(materials.bsdf_type)[np.unique(np.asarray(geometry.mat_id))])
     materials = dataclasses.replace(materials, types_present=tuple(int(t) for t in used))

@@ -84,14 +84,38 @@ def test_native_lbvh_matches_numpy_fallback():
         del os.environ["TERRA_TPU_NO_NATIVE"]
         native._tried = False
         native._lib = None
-    bvh_nat = lbvh.build(geom)
+    bvh_nat = lbvh.build(geom, builder="lbvh")
     assert bvh_nat.num_leaves == bvh_np.num_leaves
     # same triangles covered; same leaf partitioning (both morton-sorted)
     np.testing.assert_array_equal(
         np.sort(np.asarray(bvh_nat.leaf_tri).reshape(-1)),
         np.sort(np.asarray(bvh_np.leaf_tri).reshape(-1)),
     )
-    # traversal with both trees agrees with brute force
+
+
+def test_native_sah_build_validity():
+    """SAH builder (default): every triangle reachable, leaves at least
+    half full, child boxes contained in parents."""
+    from terra_tpu import native
+    from terra_tpu.accel import lbvh
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    scene = tt.scenes.random_triangles(777, seed=4)
+    bvh = lbvh.build(scene.geometry, builder="sah")
+    t = scene.geometry.tri_vidx.shape[0]
+    leaf_tri = np.asarray(bvh.leaf_tri)
+    assert set(np.unique(leaf_tri)) == set(range(t))
+    assert bvh.num_leaves <= 2 * ((t + bvh.leaf_size - 1) // bvh.leaf_size)
+    ni = bvh.num_internal
+    bmin = np.asarray(bvh.node_min)
+    bmax = np.asarray(bvh.node_max)
+    left = np.asarray(bvh.node_left)
+    right = np.asarray(bvh.node_right)
+    for ch in (left, right):
+        assert (bmin[:ni] <= bmin[ch] + 1e-5).all()
+        assert (bmax[:ni] >= bmax[ch] - 1e-5).all()
+    # traversal with the SAH tree agrees with brute force
     from terra_tpu.accel import traverse
     from terra_tpu import intersect
 
@@ -99,12 +123,11 @@ def test_native_lbvh_matches_numpy_fallback():
     o = jnp.asarray(rng.uniform(-2, 2, (512, 3)).astype(np.float32))
     d_ = rng.normal(size=(512, 3)).astype(np.float32)
     d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
-    ta, tb, tc = geom.corners()
+    ta, tb, tc = scene.geometry.corners()
     ref = intersect.raycast_brute(o, d, ta, tb, tc)
-    for bvh in (bvh_nat, bvh_np):
-        s = dataclasses.replace(scene, bvh=bvh)
-        hit = traverse.raycast(s, o, d)
-        np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
+    s = dataclasses.replace(scene, bvh=bvh)
+    hit = traverse.raycast(s, o, d)
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
 
 
 def test_native_obj_parse():
