@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--builder", default="", choices=["", "sah", "lbvh"],
                     help="rebuild the BVH with this builder")
     ap.add_argument("--algo", default="mt", choices=["mt", "watertight"])
+    ap.add_argument("--sort-mode", default="octant", choices=["octant", "dir2", "dir3"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -79,7 +80,8 @@ def main():
 
     def run(o, d, rows, count_steps):
         m = o.shape[0]
-        keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0])
+        keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0],
+                                       mode=args.sort_mode)
         order = jnp.argsort(keys)
         o = o[order]; d = d[order]
         pad = -m % (rows * 128)

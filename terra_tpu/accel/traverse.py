@@ -38,31 +38,40 @@ PACKET_SIZE = 64
 ADVANCE_UNROLL = 8  # skip-link steps per advance iteration
 
 
-def _sort_keys(o, d, scene_min, scene_max):
-    """Coherence keys: direction octant (3 high bits) + 7-bit-per-axis
-    Morton code of the origin. Sorting rays by this key before packetizing
-    collapses packet dilation for incoherent (bounce) rays."""
+def _spread3(v):  # 10-bit Morton spread
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _morton3_bits(x, bits):
+    """Interleaved Morton code of (..., 3) values already scaled to
+    [0, 2^bits); returns 3*bits-bit codes."""
+    q = jnp.clip(x, 0.0, float((1 << bits) - 1)).astype(jnp.uint32)
+    return (
+        (_spread3(q[..., 0]) << jnp.uint32(2))
+        | (_spread3(q[..., 1]) << jnp.uint32(1))
+        | _spread3(q[..., 2])
+    ) & jnp.uint32((1 << (3 * bits)) - 1)
+
+
+def _sort_keys(o, d, scene_min, scene_max, mode: str = "octant"):
+    """Coherence keys for packetizing. Sorting rays by this key before
+    packetizing collapses packet dilation for incoherent (bounce) rays.
+
+      octant — direction octant (3 high bits) + 7-bit/axis origin Morton
+      dir2   — 2-bit/axis quantized direction (6 high bits) + origin Morton
+      dir3   — 3-bit/axis direction (9 high bits) + origin Morton
+    """
     inv_ext = 1.0 / jnp.maximum(scene_max - scene_min, 1e-12)
-    q = jnp.clip(((o - scene_min) * inv_ext * 127.0), 0.0, 127.0).astype(jnp.uint32)
-
-    def spread(v):  # 10-bit Morton spread (values here are 7-bit)
-        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
-        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
-        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
-        v = (v | (v << 2)) & jnp.uint32(0x09249249)
-        return v
-
-    morton = (
-        (spread(q[..., 0]) << jnp.uint32(2))
-        | (spread(q[..., 1]) << jnp.uint32(1))
-        | spread(q[..., 2])
-    ) & jnp.uint32(0x1FFFFF)  # 7 bits/axis interleaved = 21 bits
-    octant = (
-        (d[..., 0] > 0).astype(jnp.uint32)
-        | ((d[..., 1] > 0).astype(jnp.uint32) << 1)
-        | ((d[..., 2] > 0).astype(jnp.uint32) << 2)
-    )
-    return (octant << jnp.uint32(21)) | morton
+    on = (o - scene_min) * inv_ext  # [0,1] inside the scene
+    dir_bits = {"octant": 1, "dir2": 2, "dir3": 3}[mode]
+    dn = (d + 1.0) * 0.5
+    dkey = _morton3_bits(dn * float(1 << dir_bits), dir_bits)
+    morton = _morton3_bits(on * 127.0, 7)  # 21 bits
+    return (dkey << jnp.uint32(21)) | morton
 
 
 def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096, algo: str = "mt"):
