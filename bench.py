@@ -181,7 +181,9 @@ def bench_courtyard(tt, key):
     packed = pt.pack_tables(scene.bvh, *scene.geometry.corners())
 
     def run(o, d):
-        keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0], scene.bvh.node_max[0])
+        # camera batches are known-coherent: direction-major key (dir3)
+        keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0],
+                                       scene.bvh.node_max[0], mode="dir3")
         order = jnp.argsort(keys)
         return pt._traverse_pallas(scene.bvh, *packed, o[order], d[order])
 
@@ -198,6 +200,18 @@ def bench_courtyard(tt, key):
     _emit("courtyard_bvh_mrays", mrays, "Mrays/s", mrays / BASE_COURTYARD,
           tris=ntri, build_ms=round(build_ms, 1),
           scene_build_s=round(total_build_s, 2))
+
+    # 3b: the PRODUCTION path end-to-end — full render loop (camera, BVH
+    # traversal, textured surfaces, GGX, NEE shadow rays, persistent lanes)
+    _log("config 3b: courtyard full render 384^2 ...")
+    opts = tt.RenderOptions(
+        width=384, height=384, samples_per_pixel=8, bounces=2,
+        integrator=tt.Integrator.DIRECT, subpixel_jitter=0.5,
+        samples_per_lane=4,
+    )
+    mrays_r, dt_r = _timed_render(scene, cam, opts, key, shadow_rays_per_bounce=1)
+    _emit("courtyard_render_mrays", mrays_r, "Mrays/s",
+          mrays_r / BASE_COURTYARD, seconds=round(dt_r, 3))
 
 
 def bench_inverse(tt, key):

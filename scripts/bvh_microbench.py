@@ -32,6 +32,8 @@ def main():
                     help="rebuild the BVH with this builder")
     ap.add_argument("--algo", default="mt", choices=["mt", "watertight"])
     ap.add_argument("--sort-mode", default="octant", choices=["octant", "dir2", "dir3"])
+    ap.add_argument("--row-groups", type=int, default=0,
+                    help="leaf-test row bands (0 = kernel default)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -90,7 +92,8 @@ def main():
             d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
         return pt._traverse_pallas(bvh, *packed, o, d, packet_rows=rows,
                                    count_steps=count_steps, interpret=args.cpu,
-                                   algo=args.algo, queue=queue)
+                                   algo=args.algo, queue=queue,
+                                   row_groups=args.row_groups or pt.ROW_GROUPS)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

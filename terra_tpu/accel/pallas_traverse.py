@@ -53,6 +53,11 @@ __all__ = ["raycast", "pack_tables", "PACKET", "QUEUE"]
 PACKET = 1024  # rays per packet: (8, 128) f32 register planes
 STACK_DEPTH = 96
 QUEUE = 4       # leaf DMAs in flight per drain round
+# Leaf-test row bands (masked independently per leaf). MEASURED NEGATIVE at
+# 2 on both 76k-primary (23.1 -> 17.8 Mrays/s) and incoherent (2.08 -> 1.68):
+# the per-leaf slab test + pl.when branch overhead exceeds the skipped dense
+# work at leaf_size 16. Kept selectable for re-evaluation with bigger leaves.
+ROW_GROUPS = 1
 EPS = np.float32(1e-4)
 TRI_FIELDS = 128  # one full lane row per triangle: ax..cz (9), tri_id (9),
                   # rest pad — HBM rows must be 128-aligned for DMA slicing
@@ -63,7 +68,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             best_t_ref, best_i_ref,
             *rest,
             ni: int, num_leaves: int, leaf_size: int, algo: str,
-            nq: int, count_steps: bool = False):
+            nq: int, row_groups: int = 2, count_steps: bool = False):
     if count_steps:
         steps_ref, tri_scratch, dma_sem = rest
     else:
@@ -106,17 +111,22 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         return jnp.min(jnp.where(hit, tmin, T_FAR))
 
     isect = watertight_components if algo == "watertight" else mt_components
+    n_rows = ox.shape[0]
+    n_groups = row_groups if n_rows % max(row_groups, 1) == 0 else 1
+    gr = n_rows // max(n_groups, 1)
 
-    def leaf_test_dense(slot: int):
-        """Dense closest-hit over DMA slot ``slot``: CH triangles x the
-        whole packet at once. Triangle fields become (CH,1,1) columns
-        (sublane = slot, static lane slice — no one-hot extraction, no
-        scalar round trips) broadcast against the (R,128) ray planes;
-        per-chunk reduction is an elementwise min-tree over the
-        sublane-batch axis, and the winning tri id rides a float min with
-        the same mask (ids < 2^24 are exact in f32)."""
+    def _dense_rows(slot: int, sl: slice):
+        """Dense closest-hit of DMA slot ``slot`` against ray rows ``sl``:
+        CH triangles x the row band at once. Triangle fields become
+        (CH,1,1) columns (sublane = slot, static lane slice — no one-hot
+        extraction, no scalar round trips) broadcast against the (R,128)
+        ray planes; per-chunk reduction is an elementwise min-tree over
+        the sublane-batch axis, and the winning tri id rides a float min
+        with the same mask (ids < 2^24 are exact in f32)."""
         CH = min(8, leaf_size)
         tri = tri_scratch[slot]
+        oxs, oys, ozs = ox[sl], oy[sl], oz[sl]
+        dxs, dys, dzs = dx[sl], dy[sl], dz[sl]
         for c in range(-(-leaf_size // CH)):
             sub = tri[c * CH:min((c + 1) * CH, leaf_size)]
 
@@ -124,21 +134,53 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 return sub[:, j].reshape(-1, 1, 1)
 
             ok, t = isect(
-                (ox, oy, oz), (dx, dy, dz),
+                (oxs, oys, ozs), (dxs, dys, dzs),
                 (col(0), col(1), col(2)),
                 (col(3), col(4), col(5)),
                 (col(6), col(7), col(8)),
                 EPS,
             )
-            ok = ok & (t < best_t_ref[...])
             t_m = jnp.where(ok, t, T_FAR)
-            tmin = jnp.min(t_m, axis=0)     # (R, 128)
+            tmin = jnp.min(t_m, axis=0)     # (rows, 128)
             idm = jnp.min(jnp.where(t_m <= tmin[None], col(9),
                                     jnp.float32(3e7)), axis=0)
-            better = tmin < best_t_ref[...]
-            best_i_ref[...] = jnp.where(better, idm.astype(jnp.int32),
-                                        best_i_ref[...])
-            best_t_ref[...] = jnp.where(better, tmin, best_t_ref[...])
+            better = tmin < best_t_ref[sl]
+            best_i_ref[sl] = jnp.where(better, idm.astype(jnp.int32),
+                                       best_i_ref[sl])
+            best_t_ref[sl] = jnp.where(better, tmin, best_t_ref[sl])
+
+    def leaf_test_dense(slot: int, leaf_id):
+        """Row-group-masked dense leaf test: rays are coherence-sorted, so
+        a leaf's potential hitters cluster into a band of sublane rows.
+        One slab test against the leaf's own box splits the packet into
+        ``row_groups`` bands and the dense chunks run only for bands with
+        a potential closer hit — the sub-packet granularity a fully dense
+        SIMD test can't express per lane."""
+        if n_groups <= 1:
+            _dense_rows(slot, slice(0, n_rows))
+            return
+        b = (ni + leaf_id) * 6
+        t1x = (nodes_ref[b + 0] - ox) * idx_
+        t2x = (nodes_ref[b + 3] - ox) * idx_
+        t1y = (nodes_ref[b + 1] - oy) * idy
+        t2y = (nodes_ref[b + 4] - oy) * idy
+        t1z = (nodes_ref[b + 2] - oz) * idz
+        t2z = (nodes_ref[b + 5] - oz) * idz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
+        for g in range(n_groups):
+            sl = slice(g * gr, (g + 1) * gr)
+
+            @pl.when(jnp.any(hit[sl]))
+            def _(sl=sl):
+                _dense_rows(slot, sl)
 
     def leaf_dma(slot: int, leaf_id):
         return pltpu.make_async_copy(
@@ -210,14 +252,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
                 @pl.when(j < qn)
                 def _(j=j):
-                    leaf_test_dense(j)
+                    leaf_test_dense(j, qids[j])
 
             return sp, jnp.int32(0), steps
 
         if ni == 0:
             leaf_dma(0, jnp.int32(0)).start()
             leaf_dma(0, jnp.int32(0)).wait()
-            leaf_test_dense(0)
+            _dense_rows(0, slice(0, n_rows))
             if steps_ref is not None:
                 steps_ref[...] = jnp.ones_like(best_i_ref[...])
         else:
@@ -264,7 +306,8 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
 
 def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      packet_rows: int = 8, algo: str = "mt",
-                     queue: int = QUEUE, count_steps: bool = False):
+                     queue: int = QUEUE, row_groups: int = ROW_GROUPS,
+                     count_steps: bool = False):
     """o, d: (N, 3) with N a multiple of packet_rows*128."""
     n = o.shape[0]
     num_packets = n // (packet_rows * 128)
@@ -280,7 +323,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
-        leaf_size=bvh.leaf_size, algo=algo, nq=queue,
+        leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
         count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
@@ -334,15 +377,17 @@ def supported(bvh) -> bool:
 
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
-            packed=None, algo: str = "mt") -> RayHit:
+            packed=None, algo: str = "mt", sort_mode: str = "octant") -> RayHit:
     """Closest-hit via the Pallas ordered-stack packet traversal.
 
     ``packed``: optional (boxes, links, tris) from :func:`pack_tables` to
     avoid re-packing per call (XLA CSEs repeated packing inside one jit,
     but passing it is cheaper still). ``algo`` selects the leaf
     intersector: "mt" or "watertight" (TerraGeometry.c:25-31's switch,
-    honored inside the hot kernel). Scenes whose node table exceeds SMEM
-    fall back to the XLA packet walk.
+    honored inside the hot kernel). ``sort_mode``: coherence key —
+    "octant" is best for mixed/bounce rays; callers tracing known-coherent
+    camera batches can pass "dir3" (measured +22% on sorted primaries).
+    Scenes whose node table exceeds SMEM fall back to the XLA packet walk.
     """
     from . import traverse as xla_traverse
 
@@ -358,7 +403,8 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     order = None
     if sort_rays and n > PACKET:
         root = 0 if bvh.num_internal > 0 else bvh.num_internal
-        keys = xla_traverse._sort_keys(o, d, bvh.node_min[root], bvh.node_max[root])
+        keys = xla_traverse._sort_keys(o, d, bvh.node_min[root], bvh.node_max[root],
+                                       mode=sort_mode)
         order = jnp.argsort(keys)
         o = o[order]
         d = d[order]

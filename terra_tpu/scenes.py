@@ -180,16 +180,25 @@ def courtyard(
     import jax.numpy as _jnp
 
     rng = np.random.default_rng(7)
-    tris = []
-    mids = []
-    oids = []
-    uvs_list = []
+    # batched (T,3,3)/(T,3,2)/(T,)/(T,) blocks, concatenated at the end —
+    # fully vectorized (the per-triangle python loop version took ~5s at
+    # the default 242k tris; this builds in ~80ms)
+    blocks = []  # (tris, uvs, mid, oid)
 
-    def emit(a, b, c, mid, oid, uv=None):
-        tris.append((a, b, c))
-        mids.append(mid)
-        oids.append(oid)
-        uvs_list.append(uv if uv is not None else ((0, 0), (1, 0), (1, 1)))
+    def emit_quads(p00, p10, p11, p01, uv00, uv10, uv11, uv01, mid, oid):
+        """Two CCW triangles per quad, interleaved in input order.
+        p??: (..., 3); uv??: (..., 2); oid: scalar or (...) array."""
+        t1 = np.stack([p00, p10, p11], axis=-2)
+        t2 = np.stack([p00, p11, p01], axis=-2)
+        tris = np.stack([t1, t2], axis=-3).reshape(-1, 3, 3)
+        u1 = np.stack([uv00, uv10, uv11], axis=-2)
+        u2 = np.stack([uv00, uv11, uv01], axis=-2)
+        uvs = np.stack([u1, u2], axis=-3).reshape(-1, 3, 2)
+        n = tris.shape[0]
+        oid_a = np.broadcast_to(np.asarray(oid), p00.shape[:-1])
+        oid_a = np.stack([oid_a, oid_a], axis=-1).reshape(-1)
+        blocks.append((tris.astype(np.float32), uvs.astype(np.float32),
+                       np.full(n, mid, np.int32), oid_a.astype(np.int32)))
 
     # displaced terrain floor: grid x grid quads over [0, 40]^2
     size = 40.0
@@ -197,71 +206,102 @@ def courtyard(
     zs = np.linspace(0, size, grid + 1)
     hx = np.sin(xs[:, None] * 0.7) * 0.25 + np.cos(zs[None, :] * 0.9) * 0.25
     hx += rng.normal(0, 0.02, hx.shape)
-    for i in range(grid):
-        for j in range(grid):
-            p00 = (xs[i], hx[i, j], zs[j])
-            p10 = (xs[i + 1], hx[i + 1, j], zs[j])
-            p11 = (xs[i + 1], hx[i + 1, j + 1], zs[j + 1])
-            p01 = (xs[i], hx[i, j + 1], zs[j + 1])
-            u0, v0, u1, v1 = i / 8 % 1, j / 8 % 1, (i + 1) / 8 % 1, (j + 1) / 8 % 1
-            emit(p00, p10, p11, 0, 0, ((u0, v0), (u1, v0), (u1, v1)))
-            emit(p00, p11, p01, 0, 0, ((u0, v0), (u1, v1), (u0, v1)))
+    I, J = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
 
-    # colonnade: fluted columns around the courtyard
-    oid = 1
-    for k in range(columns):
-        ang = 2 * np.pi * k / columns
-        cx = size / 2 + np.cos(ang) * size * 0.35
-        cz = size / 2 + np.sin(ang) * size * 0.35
-        radius = 0.8 + 0.1 * np.sin(5 * ang)
-        height = 8.0
-        segs = column_segments
-        levels = column_levels
-        for lv in range(levels):
-            y0 = lv * height / levels
-            y1 = (lv + 1) * height / levels
-            r0 = radius * (1.0 + 0.08 * np.sin(lv * 1.3))
-            r1 = radius * (1.0 + 0.08 * np.sin((lv + 1) * 1.3))
-            for s in range(segs):
-                a0 = 2 * np.pi * s / segs
-                a1 = 2 * np.pi * (s + 1) / segs
-                flute0 = 1 + 0.06 * np.sin(a0 * 9)
-                flute1 = 1 + 0.06 * np.sin(a1 * 9)
-                p00 = (cx + np.cos(a0) * r0 * flute0, y0, cz + np.sin(a0) * r0 * flute0)
-                p10 = (cx + np.cos(a1) * r0 * flute1, y0, cz + np.sin(a1) * r0 * flute1)
-                p11 = (cx + np.cos(a1) * r1 * flute1, y1, cz + np.sin(a1) * r1 * flute1)
-                p01 = (cx + np.cos(a0) * r1 * flute0, y1, cz + np.sin(a0) * r1 * flute0)
-                uv = ((s / segs, lv / levels), ((s + 1) / segs, lv / levels), ((s + 1) / segs, (lv + 1) / levels))
-                emit(p00, p10, p11, 1, oid, uv)
-                emit(p00, p11, p01, 1, oid, ((s / segs, lv / levels), ((s + 1) / segs, (lv + 1) / levels), (s / segs, (lv + 1) / levels)))
-        oid += 1
+    def tp(ii, jj):
+        return np.stack([xs[ii], hx[ii, jj], zs[jj]], axis=-1)
 
+    def tuv(ii, jj):
+        return np.stack([ii / 8 % 1, jj / 8 % 1], axis=-1)
+
+    emit_quads(tp(I, J), tp(I + 1, J), tp(I + 1, J + 1), tp(I, J + 1),
+               tuv(I, J), tuv(I + 1, J), tuv(I + 1, J + 1), tuv(I, J + 1),
+               0, 0)
+
+    # colonnade: fluted columns around the courtyard (axes K x LV x S)
+    height = 8.0
+    segs, levels = column_segments, column_levels
+    k = np.arange(columns)[:, None, None]
+    lv = np.arange(levels)[None, :, None]
+    s = np.arange(segs)[None, None, :]
+    ang = 2 * np.pi * k / columns
+    cx = size / 2 + np.cos(ang) * size * 0.35
+    cz = size / 2 + np.sin(ang) * size * 0.35
+    radius = 0.8 + 0.1 * np.sin(5 * ang)
+
+    def cy(lvv):
+        return np.broadcast_to(lvv * height / levels, (columns, levels, segs)).astype(np.float64)
+
+    def cr(lvv):
+        return radius * (1.0 + 0.08 * np.sin(lvv * 1.3))
+
+    def ca(ss):
+        a = 2 * np.pi * ss / segs
+        return a, 1 + 0.06 * np.sin(a * 9)
+
+    def cpt(lvv, ss):
+        a, flute = ca(ss)
+        r = cr(lvv)
+        return np.stack(np.broadcast_arrays(
+            cx + np.cos(a) * r * flute, cy(lvv), cz + np.sin(a) * r * flute
+        ), axis=-1)
+
+    def cuv(lvv, ss):
+        return np.stack(np.broadcast_arrays(
+            ss / segs + 0.0 * (cx + cr(lvv)), lvv / levels + 0.0 * cx
+        ), axis=-1)
+
+    emit_quads(cpt(lv, s), cpt(lv, s + 1), cpt(lv + 1, s + 1), cpt(lv + 1, s),
+               cuv(lv, s), cuv(lv, s + 1), cuv(lv + 1, s + 1), cuv(lv + 1, s),
+               1, 1 + np.broadcast_to(k, (columns, levels, segs)))
+
+    oid = 1 + columns
     # surrounding walls
     wall_h = 12.0
     for (a, b) in [((0, 0), (size, 0)), ((size, 0), (size, size)), ((size, size), (0, size)), ((0, size), (0, 0))]:
         steps = 40
-        for s in range(steps):
-            t0, t1 = s / steps, (s + 1) / steps
-            x0, z0 = a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0
-            x1, z1 = a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1
-            emit((x0, 0, z0), (x1, 0, z1), (x1, wall_h, z1), 2, oid)
-            emit((x0, 0, z0), (x1, wall_h, z1), (x0, wall_h, z0), 2, oid)
+        t0 = np.arange(steps) / steps
+        t1 = (np.arange(steps) + 1) / steps
+
+        def wp(t, y):
+            return np.stack([a[0] + (b[0] - a[0]) * t, np.full_like(t, y),
+                             a[1] + (b[1] - a[1]) * t], axis=-1)
+
+        uvd = np.stack([np.zeros(steps), np.zeros(steps)], axis=-1)
+        uvb = np.stack([np.ones(steps), np.zeros(steps)], axis=-1)
+        uvc = np.stack([np.ones(steps), np.ones(steps)], axis=-1)
+        emit_quads(wp(t0, 0.0), wp(t1, 0.0), wp(t1, wall_h), wp(t0, wall_h),
+                   uvd, uvb, uvc, uvd, 2, oid)
         oid += 1
 
     # two area lights high above the courtyard
     for lx, lz in [(size * 0.3, size * 0.3), (size * 0.7, size * 0.7)]:
-        s = 2.0
+        sl = 2.0
         y = 14.0
-        emit((lx - s, y, lz - s), (lx + s, y, lz - s), (lx + s, y, lz + s), 3, oid)
-        emit((lx - s, y, lz - s), (lx + s, y, lz + s), (lx - s, y, lz + s), 3, oid)
+        c00 = np.asarray([[lx - sl, y, lz - sl]])
+        c10 = np.asarray([[lx + sl, y, lz - sl]])
+        c11 = np.asarray([[lx + sl, y, lz + sl]])
+        c01 = np.asarray([[lx - sl, y, lz + sl]])
+        uv = np.asarray([[0.0, 0.0]])
+        emit_quads(c00, c10, c11, c01, uv, uv, uv, uv, 3, oid)
         oid += 1
 
-    geom = make_geometry(tris, mids, oids)
-    # overwrite uvs with the per-face uvs collected above
+    tris_a = np.concatenate([b[0] for b in blocks])
+    uvs_a = np.concatenate([b[1] for b in blocks])
+    mids_a = np.concatenate([b[2] for b in blocks])
+    oids_a = np.concatenate([b[3] for b in blocks])
+    t = tris_a.shape[0]
+    e0 = tris_a[:, 1] - tris_a[:, 0]
+    e1 = tris_a[:, 2] - tris_a[:, 0]
+    n = np.cross(e0, e1)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     geom = Geometry(
-        positions=geom.positions, tri_vidx=geom.tri_vidx, normals=geom.normals,
-        uvs=jnp.asarray(np.asarray(uvs_list, np.float32)),
-        mat_id=geom.mat_id, obj_id=geom.obj_id,
+        positions=jnp.asarray(tris_a.reshape(t * 3, 3)),
+        tri_vidx=jnp.asarray(np.arange(t * 3, dtype=np.int32).reshape(t, 3)),
+        normals=jnp.asarray(np.repeat(n[:, None, :], 3, axis=1).astype(np.float32)),
+        uvs=jnp.asarray(uvs_a),
+        mat_id=jnp.asarray(mids_a),
+        obj_id=jnp.asarray(oids_a),
     )
 
     m = 4
