@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--sort-mode", default="octant", choices=["octant", "dir2", "dir3"])
     ap.add_argument("--row-groups", type=int, default=0,
                     help="leaf-test row bands (0 = kernel default)")
+    ap.add_argument("--push-mode", default="entry", choices=["entry", "axis"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -93,7 +94,8 @@ def main():
         return pt._traverse_pallas(bvh, *packed, o, d, packet_rows=rows,
                                    count_steps=count_steps, interpret=args.cpu,
                                    algo=args.algo, queue=queue,
-                                   row_groups=args.row_groups or pt.ROW_GROUPS)
+                                   row_groups=args.row_groups or pt.ROW_GROUPS,
+                                   push_mode=args.push_mode)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

@@ -61,14 +61,19 @@ ROW_GROUPS = 1
 EPS = np.float32(1e-4)
 TRI_FIELDS = 128  # one full lane row per triangle: ax..cz (9), tri_id (9),
                   # rest pad — HBM rows must be 128-aligned for DMA slicing
+# Left-link entries carry metadata in their high bits (node ids < 2^28):
+# bits 28-29 = split axis, bit 30 = "left child is upper along the axis".
+LINK_MASK = (1 << 28) - 1
 
 
 def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            nodes_ref, links_ref, tris_ref,
-            best_t_ref, best_i_ref,
-            *rest,
+            *refs,
             ni: int, num_leaves: int, leaf_size: int, algo: str,
-            nq: int, row_groups: int = 2, count_steps: bool = False):
+            nq: int, row_groups: int = 2, push_mode: str = "entry",
+            has_tmax: bool = False, count_steps: bool = False):
+    if has_tmax:
+        tm_ref, refs = refs[0], refs[1:]
+    nodes_ref, links_ref, tris_ref, best_t_ref, best_i_ref, *rest = refs
     if count_steps:
         steps_ref, tri_scratch, dma_sem = rest
     else:
@@ -83,15 +88,19 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     inv = lambda v: jnp.where(jnp.abs(v) > 1e-12, 1.0 / v, jnp.float32(1e12))
     idx_, idy, idz = inv(dx), inv(dy), inv(dz)
 
-    best_t_ref[...] = jnp.full(ox.shape, T_FAR, jnp.float32)
+    # Occlusion queries seed best-t with the per-ray max distance: every
+    # subtree/triangle beyond the light sample is pruned by the regular
+    # best-t tests, which is what makes shadow rays much cheaper than
+    # closest-hit rays (the caller tests best_t < t_max afterwards).
+    if has_tmax:
+        best_t_ref[...] = tm_ref[...]
+    else:
+        best_t_ref[...] = jnp.full(ox.shape, T_FAR, jnp.float32)
     best_i_ref[...] = jnp.zeros(ox.shape, jnp.int32)
 
-    def child_entry(node):
-        """Packet AABB test vs node -> min entry t (T_FAR on miss).
-
-        Box fields are scalar SMEM loads broadcast into the vector slab
-        test; the single masked-min reduction doubles as the any-hit test
-        (entry < T_FAR)."""
+    def _child_hitmask(node):
+        """Per-lane AABB slab test vs node, pruned by per-ray best t.
+        Box fields are scalar SMEM loads broadcast into the vector test."""
         b = node * 6
         t1x = (nodes_ref[b + 0] - ox) * idx_
         t2x = (nodes_ref[b + 3] - ox) * idx_
@@ -108,6 +117,13 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.maximum(t1z, t2z),
         )
         hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
+        return hit, tmin
+
+    def child_entry(node):
+        """Packet AABB test vs node -> min entry t (T_FAR on miss): the
+        single masked-min reduction doubles as the any-hit test
+        (entry < T_FAR)."""
+        hit, tmin = _child_hitmask(node)
         return jnp.min(jnp.where(hit, tmin, T_FAR))
 
     isect = watertight_components if algo == "watertight" else mt_components
@@ -188,10 +204,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tri_scratch.at[slot], dma_sem.at[slot],
         )
 
+    if push_mode == "axis":
+        # packet-mean direction signs (3 reductions per packet, amortized)
+        dsign = [(jnp.sum(dx) > 0).astype(jnp.int32),
+                 (jnp.sum(dy) > 0).astype(jnp.int32),
+                 (jnp.sum(dz) > 0).astype(jnp.int32)]
+
     def run(stack_ref, queue_ref):
-        def fill_body(state):
-            """One stack pop: leaves are queued (no DMA yet), internal
-            nodes AABB-test both children and push hits far-first."""
+        def _pop_head(state):
             sp, qn, steps = state
             sp = sp - 1
             node = stack_ref[sp]
@@ -202,9 +222,28 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 queue_ref[qn] = node - ni
 
             qn = qn + is_leaf.astype(jnp.int32)
-
             safe_node = jnp.where(is_leaf, 0, node)
-            l = links_ref[2 * safe_node]
+            return sp, qn, node, is_leaf, safe_node
+
+        def _push2(sp, second, push_second, first, push_first):
+            @pl.when(push_second)
+            def _():
+                stack_ref[sp] = second
+
+            sp = sp + push_second.astype(jnp.int32)
+
+            @pl.when(push_first)
+            def _():
+                stack_ref[sp] = first
+
+            return sp + push_first.astype(jnp.int32)
+
+        def fill_body(state):
+            """One stack pop: leaves are queued (no DMA yet), internal
+            nodes AABB-test both children and push hits far-first (exact
+            per-packet entry ordering: 2 masked-min reductions)."""
+            sp, qn, node, is_leaf, safe_node = _pop_head(state)
+            l = links_ref[2 * safe_node] & LINK_MASK
             r = links_ref[2 * safe_node + 1]
             lentry = child_entry(l)
             rentry = child_entry(r)
@@ -213,19 +252,43 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             second = jnp.where(near_first, r, l)
             push2 = (~is_leaf) & (jnp.maximum(lentry, rentry) < T_FAR)
             push1 = (~is_leaf) & (jnp.minimum(lentry, rentry) < T_FAR)
+            sp = _push2(sp, second, push2, first, push1)
+            return sp, qn, state[2] + 1
 
-            @pl.when(push2)
-            def _():
-                stack_ref[sp] = second
+        def fill_body_axis(state):
+            """Pop variant with ONE cross-lane reduction: both children's
+            per-lane hit masks fold into a single integer sum
+            (hitL*2^16 + hitR summed over <=1024 lanes stays below 2^31),
+            and near-first ordering comes from the node's packed split
+            axis + the packet-mean direction sign instead of entry t."""
+            sp, qn, node, is_leaf, safe_node = _pop_head(state)
+            lp = links_ref[2 * safe_node]
+            r = links_ref[2 * safe_node + 1]
+            l = lp & LINK_MASK
+            axis = (lp >> 28) & 3
+            swap = (lp >> 30) & 1
+            hitl, _ = _child_hitmask(l)
+            hitr, _ = _child_hitmask(r)
+            ssum = jnp.sum(hitl.astype(jnp.int32) * 65536
+                           + hitr.astype(jnp.int32))
+            anyl = ssum >= 65536
+            anyr = (ssum & 65535) > 0
+            dpa = jnp.where(axis == 0, dsign[0],
+                            jnp.where(axis == 1, dsign[1], dsign[2]))
+            near_is_l = dpa != swap
+            first = jnp.where(near_is_l, l, r)
+            any_first = jnp.where(near_is_l, anyl, anyr)
+            second = jnp.where(near_is_l, r, l)
+            any_second = jnp.where(near_is_l, anyr, anyl)
+            # when only one child hit, push it as "first" regardless of order
+            first = jnp.where(any_first, first, second)
+            push2 = (~is_leaf) & any_first & any_second
+            push1 = (~is_leaf) & (any_first | any_second)
+            sp = _push2(sp, second, push2, first, push1)
+            return sp, qn, state[2] + 1
 
-            sp = sp + push2.astype(jnp.int32)
-
-            @pl.when(push1)
-            def _():
-                stack_ref[sp] = first
-
-            sp = sp + push1.astype(jnp.int32)
-            return sp, qn, steps + 1
+        if push_mode == "axis":
+            fill_body = fill_body_axis
 
         cap = jnp.int32(8 * (ni + num_leaves) + 64)
 
@@ -289,7 +352,16 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
     ni = bvh.num_internal
     nodes = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1).reshape(-1)
     if ni > 0:
-        links = jnp.stack([bvh.node_left, bvh.node_right], axis=1).reshape(-1)
+        # split axis + child order along it, packed into the left link's
+        # high bits (consumed by the push_mode="axis" traversal ordering)
+        c_l = 0.5 * (bvh.node_min[bvh.node_left] + bvh.node_max[bvh.node_left])
+        c_r = 0.5 * (bvh.node_min[bvh.node_right] + bvh.node_max[bvh.node_right])
+        sep = jnp.abs(c_l - c_r)
+        axis = jnp.argmax(sep, axis=1).astype(jnp.int32)
+        swap = (jnp.take_along_axis(c_l, axis[:, None], 1)
+                > jnp.take_along_axis(c_r, axis[:, None], 1))[:, 0]
+        left_packed = bvh.node_left | (axis << 28) | (swap.astype(jnp.int32) << 30)
+        links = jnp.stack([left_packed, bvh.node_right], axis=1).reshape(-1)
     else:
         links = jnp.zeros((2,), jnp.int32)
 
@@ -307,8 +379,10 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
 def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      packet_rows: int = 8, algo: str = "mt",
                      queue: int = QUEUE, row_groups: int = ROW_GROUPS,
+                     push_mode: str = "entry", t_max=None,
                      count_steps: bool = False):
-    """o, d: (N, 3) with N a multiple of packet_rows*128."""
+    """o, d: (N, 3) with N a multiple of packet_rows*128. ``t_max``: (N,)
+    seeds per-ray best-t (occlusion queries)."""
     n = o.shape[0]
     num_packets = n // (packet_rows * 128)
     rows = num_packets * packet_rows
@@ -318,19 +392,22 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
 
     comps = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
              plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2])]
+    if t_max is not None:
+        comps.append(plane(t_max))
 
     ray_spec = pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
+        push_mode=push_mode, has_tmax=t_max is not None,
         count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
     out = pl.pallas_call(
         kernel,
         grid=(num_packets,),
-        in_specs=[ray_spec] * 6 + [
+        in_specs=[ray_spec] * len(comps) + [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes (flat)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # child links (flat)
             pl.BlockSpec(memory_space=pl.ANY),       # tris: HBM rows
@@ -377,7 +454,8 @@ def supported(bvh) -> bool:
 
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
-            packed=None, algo: str = "mt", sort_mode: str = "octant") -> RayHit:
+            packed=None, algo: str = "mt", sort_mode: str = "octant",
+            t_max=None) -> RayHit:
     """Closest-hit via the Pallas ordered-stack packet traversal.
 
     ``packed``: optional (boxes, links, tris) from :func:`pack_tables` to
@@ -387,18 +465,23 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     honored inside the hot kernel). ``sort_mode``: coherence key —
     "octant" is best for mixed/bounce rays; callers tracing known-coherent
     camera batches can pass "dir3" (measured +22% on sorted primaries).
+    ``t_max``: optional (N,) per-ray maximum distance — seeds the
+    traversal's best-t so subtrees/triangles beyond it are pruned (the
+    shadow/occlusion query); ``hit`` then means "occluded within t_max".
     Scenes whose node table exceeds SMEM fall back to the XLA packet walk.
     """
     from . import traverse as xla_traverse
 
     bvh = scene.bvh
     if not fits_smem(bvh) and not interpret:
-        return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays, algo=algo)
+        return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays, algo=algo,
+                                    t_max=t_max)
     tri_a, tri_b, tri_c = scene.geometry.corners()
     if packed is None:
         packed = pack_tables(bvh, tri_a, tri_b, tri_c)
     nodes, links, tris = packed
     n = o.shape[0]
+    tm = t_max
 
     order = None
     if sort_rays and n > PACKET:
@@ -408,21 +491,25 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         order = jnp.argsort(keys)
         o = o[order]
         d = d[order]
+        if tm is not None:
+            tm = tm[order]
 
     pad = -n % PACKET
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
+        if tm is not None:
+            tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)], axis=0)
 
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
-                                      algo=algo)
+                                      algo=algo, t_max=tm)
     best_t = best_t[:n]
     best_i = best_i[:n]
     if order is not None:
         inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=order.dtype))
         best_t = best_t[inv]
         best_i = best_i[inv]
-    hit = best_t < T_FAR
+    hit = best_t < (T_FAR if t_max is None else t_max)
     return RayHit(
         t=jax.lax.stop_gradient(best_t),
         tri=jax.lax.stop_gradient(jnp.where(hit, best_i, 0)),

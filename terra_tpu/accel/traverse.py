@@ -74,8 +74,10 @@ def _sort_keys(o, d, scene_min, scene_max, mode: str = "octant"):
     return (dkey << jnp.uint32(21)) | morton
 
 
-def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096, algo: str = "mt"):
-    """o, d: (P2, P, 3). Returns (best_t, best_tri) of shape (P2, P)."""
+def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096,
+                    algo: str = "mt", t_init=None):
+    """o, d: (P2, P, 3). Returns (best_t, best_tri) of shape (P2, P).
+    ``t_init``: optional (P2, P) best-t seed (occlusion queries)."""
     p2, p, _ = o.shape
     ni = bvh.num_internal
     leaf_size = bvh.leaf_size
@@ -139,30 +141,35 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096, algo:
         return jnp.any(cur >= 0)
 
     cur0 = jnp.zeros((p2,), jnp.int32) if ni > 0 else jnp.full((p2,), ni, jnp.int32)
-    best_t0 = jnp.full((p2, p), T_FAR, jnp.float32)
+    best_t0 = jnp.full((p2, p), T_FAR, jnp.float32) if t_init is None else t_init
     best_i0 = jnp.zeros((p2, p), jnp.int32)
     if ni == 0:
         # single leaf: test it directly
         valid, t = mt_grid_components(o, d, la[0][None], lb[0][None], lc[0][None], algo=algo)
-        t = jnp.where(valid, t, T_FAR)
-        best_t0 = jnp.min(t, axis=2)
+        t = jnp.where(valid & (t < best_t0[..., None]), t, T_FAR)
+        best_t_l = jnp.min(t, axis=2)
         best_i0 = bvh.leaf_tri[0][jnp.argmin(t, axis=2)]
-        return best_t0, best_i0
+        return jnp.minimum(best_t_l, best_t0), best_i0
     cur, best_t, best_i = jax.lax.while_loop(cond, body, (cur0, best_t0, best_i0))
     return best_t, best_i
 
 
-def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True, algo: str = "mt") -> RayHit:
+def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True,
+            algo: str = "mt", t_max=None) -> RayHit:
     """Closest-hit via stackless LBVH packet traversal. o, d: (N, 3).
 
     ``sort_rays`` reorders lanes by (direction octant, origin Morton) before
     packetizing so incoherent bounce rays form tight packets, then restores
     the original order. Primary rays are already pixel-coherent, but the
     sort is cheap relative to traversal and never hurts.
+
+    ``t_max``: optional (N,) per-ray best-t seed — the occlusion query;
+    ``hit`` then means "occluded within t_max".
     """
     bvh = scene.bvh
     tri_a, tri_b, tri_c = scene.geometry.corners()
     n = o.shape[0]
+    tm = t_max
 
     order = None
     if sort_rays and n > packet_size:
@@ -171,11 +178,15 @@ def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True,
         order = jnp.argsort(keys)
         o = o[order]
         d = d[order]
+        if tm is not None:
+            tm = tm[order]
 
     pad = -n % packet_size
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
+        if tm is not None:
+            tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)], axis=0)
     p2 = o.shape[0] // packet_size
     best_t, best_i = _packet_raycast(
         bvh,
@@ -183,6 +194,7 @@ def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True,
         o.reshape(p2, packet_size, 3),
         d.reshape(p2, packet_size, 3),
         algo=algo,
+        t_init=None if tm is None else tm.reshape(p2, packet_size),
     )
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]
@@ -190,7 +202,7 @@ def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True,
         inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=order.dtype))
         best_t = best_t[inv]
         best_i = best_i[inv]
-    hit = best_t < T_FAR
+    hit = best_t < (T_FAR if t_max is None else t_max)
     return RayHit(
         t=jax.lax.stop_gradient(best_t),
         tri=jax.lax.stop_gradient(jnp.where(hit, best_i, 0)),

@@ -28,6 +28,9 @@ __all__ = ["make_integrator"]
 
 EPS = np.float32(1e-4)
 FAR_PLANE = np.float32(500.0)  # debug-depth far plane (Terra.c:1154)
+# Shadow-ray range: hits within t_max*(1-1e-3) occlude; the sampled light
+# point itself (t ~= t_max) never counts as its own occluder.
+SHADOW_TMAX_SCALE = np.float32(1.0 - 1e-3)
 
 
 PDF_CLAMP = np.float32(1e17)  # keeps pdf^2 finite in f32 (1e34 << 3.4e38)
@@ -44,10 +47,17 @@ def _power2_weight(pa, pb):
     return (pa * pa) / jnp.maximum(pa * pa + pb * pb, np.float32(1e-20))
 
 
-def _shadow_ray(surf: Surface, wi):
+def _shadow_ray(surf: Surface, wi, ctx=None):
     """Next ray from a surface: origin offset along the shading normal
-    (terra_surface_ray, Terra.c:1715-1724)."""
-    return surf.point + surf.normal * np.float32(1e-4), wi
+    (terra_surface_ray, Terra.c:1715-1724). When the wavefront's active
+    mask rides in ctx, dead lanes become canonical miss rays so the BVH
+    coherence sort packs them into trivially-terminating packets."""
+    from .intersect import mask_dead_rays
+
+    o, d = surf.point + surf.normal * np.float32(1e-4), wi
+    if ctx is not None and ctx.get("active") is not None:
+        o, d = mask_dead_rays(ctx["active"], o, d)
+    return o, d
 
 
 def _integrate_simple(ctx, surf: Surface, wo, throughput, bounce):
@@ -79,9 +89,16 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
 
     p_to_light = ls.pos - surf.point
     wi = math3.normalize(p_to_light)
-    o_sh, d_sh = _shadow_ray(surf, wi)
-    hit = raycast(o_sh, d_sh)
-    visible = hit.hit & (hit.tri == ls.tri_idx)  # same-triangle check (Terra.c:1403)
+    o_sh, d_sh = _shadow_ray(surf, wi, ctx)
+    # Ranged occlusion query: anything strictly closer than the sampled
+    # light point blocks it. The per-ray t_max also SEEDS the traversal's
+    # best-t, pruning every subtree beyond the light — shadow rays cost a
+    # fraction of a closest-hit walk. (The reference instead closest-hits
+    # and requires hit.primitive == picked, Terra.c:1403; equivalent up to
+    # coplanar-overlap corner cases, and this needs no hit-surface rebuild.)
+    t_light = math3.length(ls.pos - o_sh) * SHADOW_TMAX_SCALE
+    occ = raycast(o_sh, d_sh, t_max=t_light)
+    visible = ~occ.hit
 
     cos_l = math3.dot(ls.normal, -wi)  # cos at the light (Terra.c:1411)
     visible = visible & (cos_l > 0.0)
@@ -93,10 +110,9 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     f = bsdf.eval_f(surf, wi, wo, ctx["present"])
     nol = math3.dot(wi, surf.normal)
 
-    # Emissive at the light sample: evaluated on the shadow-ray hit surface
-    # like the reference (light_surface.emissive, Terra.c:1419).
-    light_surf = surface_init(scene, ctx["tables"], o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
-    Le = light_surf.emissive
+    # Emissive at the sampled light point (equal to the reference's
+    # hit-surface emissive whenever the sample is visible — same point).
+    Le = ls.emissive
 
     if want_weight:
         bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
@@ -129,7 +145,7 @@ def _nee_env_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     wi, env_pdf = envmap.sample(env_dist, e1, e2)
 
     nol = math3.dot(wi, surf.normal)
-    o_sh, d_sh = _shadow_ray(surf, wi)
+    o_sh, d_sh = _shadow_ray(surf, wi, ctx)
     hit = raycast(o_sh, d_sh)
     visible = (~hit.hit) & (nol > 0.0) & (env_pdf > 0.0)
 
@@ -181,7 +197,7 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
     f = bsdf.eval_f(surf, wi, wo, ctx["present"])
     bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
 
-    o_sh, d_sh = _shadow_ray(surf, wi)
+    o_sh, d_sh = _shadow_ray(surf, wi, ctx)
     hit = raycast(o_sh, d_sh)
     hit_surf = surface_init(scene, ctx["tables"], o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
 

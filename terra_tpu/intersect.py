@@ -60,6 +60,22 @@ class RayHit:
     hit: jax.Array
 
 
+# Canonical ray for terminated/masked lanes: origin far outside any scene,
+# so every AABB/triangle test misses immediately. With the BVH coherence
+# sort, masked lanes cluster into all-dead packets whose traversal ends
+# after the root pop — masked-lane "compaction" without changing the
+# estimator (every contribution is already gated on the active mask).
+MISS_ORIGIN = np.float32(3.0e5)
+
+
+def mask_dead_rays(active, o, d):
+    """Replace rays of inactive lanes with the canonical miss ray."""
+    live = active[..., None]
+    o_q = jnp.where(live, o, MISS_ORIGIN)
+    d_q = jnp.where(live, d, jnp.asarray([1.0, 0.0, 0.0], o.dtype))
+    return o_q, d_q
+
+
 def ray_aabb(o, inv_d, box_min, box_max):
     """Branchless slab test (terra_ray_aabb_intersection, Terra.c:851-878).
     All args broadcastable (..., 3); returns (hit, tmin, tmax)."""

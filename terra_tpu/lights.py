@@ -25,7 +25,8 @@ __all__ = ["LightSample", "pick_and_sample"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tri_idx", "pos", "normal", "uv", "area", "pick_pdf", "area_pdf"],
+    data_fields=["tri_idx", "pos", "normal", "uv", "area", "pick_pdf",
+                 "area_pdf", "emissive"],
     meta_fields=[],
 )
 @dataclass
@@ -37,6 +38,7 @@ class LightSample:
     area: jax.Array  # (N,) area of the sampled triangle
     pick_pdf: jax.Array  # (N,) probability of picking this triangle
     area_pdf: jax.Array  # (N,) 1/area — pdf of the point given the triangle
+    emissive: jax.Array  # (N, 3) radiance emitted at the sampled point
 
 
 def pick_and_sample(scene: Scene, e_pick, e1, e2, area_weighted: bool = False) -> LightSample:
@@ -82,6 +84,16 @@ def pick_and_sample(scene: Scene, e_pick, e1, e2, area_weighted: bool = False) -
         + wc[..., None] * uv_corners[..., 2, :]
     )
     area = 0.5 * math3.length(math3.cross(b - a, c - a))
+    # Radiance at the sampled point: the light table's constant (no per-lane
+    # gather through the material table), with the texture override of
+    # terra_attribute_eval when the light's emissive is texture-driven.
+    emissive = lights.emissive[slot]
+    if scene.textures.num_textures > 0:
+        from . import textures as textures_mod
+
+        etid = scene.materials.emissive_tex[lights.mat_id[slot]]
+        tex = textures_mod.sample(scene.textures, jnp.maximum(etid, 0), uv)
+        emissive = jnp.where((etid >= 0)[..., None], tex, emissive)
     return LightSample(
         tri_idx=tri_idx,
         pos=pos,
@@ -90,4 +102,5 @@ def pick_and_sample(scene: Scene, e_pick, e1, e2, area_weighted: bool = False) -
         area=area,
         pick_pdf=pick_pdf,
         area_pdf=jnp.reciprocal(jnp.maximum(area, 1e-12)),
+        emissive=emissive,
     )

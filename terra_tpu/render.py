@@ -40,25 +40,17 @@ __all__ = ["render", "render_chunk", "trace", "make_raycast_fn"]
 
 EPS = np.float32(1e-4)
 
-# Canonical ray for terminated lanes: origin far outside any scene, so every
-# AABB/triangle test misses immediately. Dead lanes keep stale o/d otherwise
-# and still traverse the BVH; with this, the coherence sort clusters them
-# into all-dead packets whose traversal ends after the root pop (~2 node
-# visits) — masked-lane "compaction" without changing the estimator (every
-# downstream contribution is already gated on ``active``).
-_MISS_ORIGIN = np.float32(3.0e5)
-
-
-def _mask_dead_rays(active, o, d):
-    live = active[..., None]
-    o_q = jnp.where(live, o, _MISS_ORIGIN)
-    d_q = jnp.where(live, d, jnp.asarray([1.0, 0.0, 0.0], o.dtype))
-    return o_q, d_q
+_mask_dead_rays = intersect.mask_dead_rays
 
 
 def make_raycast_fn(scene: Scene, opts: RenderOptions):
     """Closest-hit raycast closure (terra_scene_raycast, Terra.c:1623-1657):
-    offsets the origin by dir*1e-3 and dispatches on the accelerator."""
+    offsets the origin by dir*1e-3 and dispatches on the accelerator.
+
+    The closure takes an optional per-ray ``t_max``: the ranged occlusion
+    query used by NEE shadow rays. On the BVH paths t_max seeds the
+    traversal's best-t, pruning everything beyond the light sample;
+    ``hit.hit`` then means "occluded within t_max"."""
     from .scene import Intersector
 
     algo = "watertight" if opts.intersector == Intersector.WATERTIGHT else "mt"
@@ -79,24 +71,28 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
                 scene.bvh, *scene.geometry.corners()
             )
 
-            def raycast(o, d):
+            def raycast(o, d, t_max=None):
                 o = o + d * intersect.RAY_OFFSET_DIR
                 return pallas_traverse.raycast(scene, o, d, packed=packed,
-                                               algo=algo)
+                                               algo=algo, t_max=t_max)
 
             return raycast
 
-        def raycast(o, d):
+        def raycast(o, d, t_max=None):
             o = o + d * intersect.RAY_OFFSET_DIR
-            return bvh_traverse.raycast(scene, o, d, algo=algo)
+            return bvh_traverse.raycast(scene, o, d, algo=algo, t_max=t_max)
 
         return raycast
 
     tri_a, tri_b, tri_c = scene.geometry.corners()
 
-    def raycast(o, d):
+    def raycast(o, d, t_max=None):
         o = o + d * intersect.RAY_OFFSET_DIR
-        return intersect.raycast_brute(o, d, tri_a, tri_b, tri_c, algo=algo)
+        h = intersect.raycast_brute(o, d, tri_a, tri_b, tri_c, algo=algo)
+        if t_max is None:
+            return h
+        occ = h.t < t_max
+        return intersect.RayHit(t=h.t, tri=jnp.where(occ, h.tri, 0), hit=occ)
 
     return raycast
 
@@ -217,6 +213,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             scene=scene, rng=rng, raycast=raycast, ray_origin=o,
             tables=tables, present=present, env_dist=env_dist,
             light_area=opts.light_pick == LightPick.AREA,
+            active=active,
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
@@ -342,6 +339,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
             scene=scene, rng=rng, raycast=raycast, ray_origin=o,
             tables=tables, present=present, env_dist=env_dist,
             light_area=opts.light_pick == LightPick.AREA,
+            active=alive,
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         lo_sample = lo_sample + jnp.where(alive[..., None], radiance, 0.0)

@@ -279,7 +279,7 @@ class TextureAtlas:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tri_idx", "area", "cdf", "num"],
+    data_fields=["tri_idx", "area", "cdf", "emissive", "mat_id", "num"],
     meta_fields=[],
 )
 @dataclass
@@ -298,12 +298,18 @@ class LightTable:
     cdf     : (Lcap,) f32 — area-weighted CDF over live entries (for the
               importance-sampled light picking extension; reference samples
               uniformly)
+    emissive: (Lcap, 3) f32 — constant emissive of each light triangle (so
+              NEE shading needs no per-lane gather through the material
+              table; texture-emissive lights override at the sampled uv)
+    mat_id  : (Lcap,) i32 — material of each light triangle
     num     : () i32 — number of live entries
     """
 
     tri_idx: jax.Array
     area: jax.Array
     cdf: jax.Array
+    emissive: jax.Array
+    mat_id: jax.Array
     num: jax.Array
 
 
@@ -443,8 +449,12 @@ def build_light_table(geometry: Geometry, materials: MaterialTable, capacity: Op
     tri_idx = np.zeros((cap,), np.int32)
     areas = np.zeros((cap,), np.float32)
     cdf = np.ones((cap,), np.float32)
+    emis = np.zeros((cap, 3), np.float32)
+    mats = np.zeros((cap,), np.int32)
     tri_idx[:n] = idx
     areas[:n] = area
+    emis[:n] = tri_emissive[idx]
+    mats[:n] = mat_id[idx]
     if n > 0:
         c_ = np.cumsum(area)
         cdf[:n] = (c_ / c_[-1]).astype(np.float32)
@@ -452,6 +462,8 @@ def build_light_table(geometry: Geometry, materials: MaterialTable, capacity: Op
         tri_idx=jnp.asarray(tri_idx),
         area=jnp.asarray(areas),
         cdf=jnp.asarray(cdf),
+        emissive=jnp.asarray(emis),
+        mat_id=jnp.asarray(mats),
         num=jnp.asarray(n, jnp.int32),
     )
 

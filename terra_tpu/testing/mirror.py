@@ -739,6 +739,9 @@ def _mis_bsdf_env_term(sc, dist, surf, wo, wi, f, bp, hit):
 
 # -------------------------------------------------------------- integrators
 
+SHADOW_TMAX_SCALE = F32(1.0 - 1e-3)  # must match integrators.SHADOW_TMAX_SCALE
+
+
 def _light_pick_sample(sc: SceneNp, e_pick, e1, e2, area_weighted=False):
     num = max(sc.light_num, 1)
     if area_weighted:
@@ -759,7 +762,17 @@ def _light_pick_sample(sc: SceneNp, e_pick, e1, e2, area_weighted=False):
     ncr = sc.normals[tri]
     norm = normalize(wa[..., None] * ncr[:, 0] + wb[..., None] * ncr[:, 1] + wc[..., None] * ncr[:, 2])
     area = sc.light_area[slot]
-    return tri, pos.astype(F32), norm, area, pick_pdf
+    # emissive at the sampled point (twin of lights.pick_and_sample)
+    mat = sc.mat_id[tri]
+    Le = sc.emissive[mat]
+    if sc.num_textures > 0:
+        uvc = sc.uvs[tri]
+        uv = (wa[..., None] * uvc[:, 0] + wb[..., None] * uvc[:, 1]
+              + wc[..., None] * uvc[:, 2]).astype(F32)
+        etid = sc.emissive_tex[mat]
+        tval = tex_sample(sc, np.maximum(etid, 0), uv)
+        Le = np.where((etid >= 0)[..., None], tval, Le).astype(F32)
+    return tri, pos.astype(F32), norm, area, pick_pdf, Le
 
 
 PDF_CLAMP = F32(1e17)  # must match integrators._power2_weight
@@ -775,19 +788,20 @@ def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux, area_weighted=Fa
     e_pick = uniform_np(key, pix, smp, bounce, LIGHT_PICK)
     e1 = uniform_np(key, pix, smp, bounce, LIGHT_U)
     e2 = uniform_np(key, pix, smp, bounce, LIGHT_V)
-    tri_l, pos, norm_l, area, pick_pdf = _light_pick_sample(sc, e_pick, e1, e2, area_weighted)
+    tri_l, pos, norm_l, area, pick_pdf, Le = _light_pick_sample(sc, e_pick, e1, e2, area_weighted)
     p2l = pos - surf["point"]
     wi = normalize(p2l)
     o_sh = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
+    # ranged occlusion (twin of integrators._nee_light_strategy): anything
+    # strictly closer than the sampled point blocks it
+    t_light = np.sqrt(dot(pos - o_sh, pos - o_sh)).astype(F32) * SHADOW_TMAX_SCALE
     t, tri_h, hit, o_off = raycast(sc, o_sh, wi)
-    visible = hit & (tri_h == tri_l)
+    visible = ~(hit & (t < t_light))
     cos_l = dot(norm_l, -wi)
     visible &= cos_l > 0
     light_pdf = dot(p2l, p2l) / np.maximum(np.abs(cos_l * area), 1e-12)
     f = bsdf_eval(surf, wi, wo)
     nol = dot(wi, surf["normal"])
-    lsurf = surface_init(sc, o_off, wi, tri_h)
-    Le = lsurf["emissive"]
     if want_weight:
         bp = bsdf_pdf(surf, wi, wo, aux)
         w = _power2_weight(light_pdf, bp)
