@@ -366,9 +366,10 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
         links = jnp.zeros((2,), jnp.int32)
 
     leaf_flat = bvh.leaf_tri.reshape(-1)
-    corners = jnp.concatenate(
-        [tri_a[leaf_flat], tri_b[leaf_flat], tri_c[leaf_flat]], axis=1
-    )  # (C*L, 9)
+    a = tri_a[leaf_flat]
+    b = tri_b[leaf_flat]
+    c = tri_c[leaf_flat]
+    corners = jnp.concatenate([a, b, c], axis=1)  # (C*L, 9)
     slots = corners.shape[0]
     tris = jnp.zeros((slots, TRI_FIELDS), jnp.float32)
     tris = tris.at[:, :9].set(corners)
@@ -400,8 +401,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
-        push_mode=push_mode, has_tmax=t_max is not None,
-        count_steps=count_steps,
+        push_mode=push_mode,
+        has_tmax=t_max is not None, count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
     out = pl.pallas_call(
@@ -433,9 +434,11 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
 
 
 # SMEM budget for the flat node-box + child-link tables. Empirically a
-# 512 KB SMEM scratch compiles on this v5e toolchain and 1 MB does not;
-# leave headroom for the traversal stack and compiler-internal scalars.
-SMEM_NODE_BUDGET = 440 << 10  # bytes
+# 750 KB table compiled AND ran on this v5e toolchain (13.4k-leaf SAH tree)
+# while 1 MB does not compile; leave headroom for the traversal stack and
+# compiler-internal scalars. Bigger budget => smaller leaves stay on the
+# fast kernel for larger scenes.
+SMEM_NODE_BUDGET = 700 << 10  # bytes
 
 
 def fits_smem(bvh) -> bool:

@@ -88,7 +88,7 @@ def pick_and_sample(scene: Scene, e_pick, e1, e2, area_weighted: bool = False) -
     # gather through the material table), with the texture override of
     # terra_attribute_eval when the light's emissive is texture-driven.
     emissive = lights.emissive[slot]
-    if scene.textures.num_textures > 0:
+    if scene.textures.num_textures > 0 and scene.materials.emissive_textured:
         from . import textures as textures_mod
 
         etid = scene.materials.emissive_tex[lights.mat_id[slot]]

@@ -211,7 +211,7 @@ class Geometry:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["bsdf_type", "attrs", "attr_tex", "emissive", "emissive_tex", "ior"],
-    meta_fields=["types_present"],
+    meta_fields=["types_present", "tex_slots", "emissive_textured"],
 )
 @dataclass
 class MaterialTable:
@@ -227,6 +227,13 @@ class MaterialTable:
                    pytree metadata, so jit specializes the wavefront BSDF
                    dispatch to only the lobes the scene uses (set by
                    ``commit``; defaults to all).
+    tex_slots    : static tuple of attribute slots where ANY material has a
+                   texture bound — surface shading evaluates texture
+                   overrides only for these (each slot costs 4 bilinear
+                   texel gathers per lane, the dominant shade cost on big
+                   wavefronts; set by ``commit``, defaults to all).
+    emissive_textured: static bool — any emissive texture bound (same
+                   specialization for the emissive attribute).
     """
 
     bsdf_type: jax.Array
@@ -236,6 +243,8 @@ class MaterialTable:
     emissive_tex: jax.Array
     ior: jax.Array
     types_present: tuple = (0, 1, 2, 3, 4, 5)
+    tex_slots: tuple = tuple(range(MAX_ATTRS))
+    emissive_textured: bool = True
 
     @property
     def num_materials(self) -> int:
@@ -491,7 +500,16 @@ def commit(
         bvh = lbvh.build(geometry, builder=bvh_builder)
     # Record which BSDF lobes the scene uses (static dispatch specialization).
     used = np.unique(np.asarray(materials.bsdf_type)[np.unique(np.asarray(geometry.mat_id))])
-    materials = dataclasses.replace(materials, types_present=tuple(int(t) for t in used))
+    attr_tex_np = np.asarray(materials.attr_tex)
+    tex_slots = tuple(
+        s for s in range(attr_tex_np.shape[1]) if np.any(attr_tex_np[:, s] >= 0)
+    )
+    materials = dataclasses.replace(
+        materials,
+        types_present=tuple(int(t) for t in used),
+        tex_slots=tex_slots,
+        emissive_textured=bool(np.any(np.asarray(materials.emissive_tex) >= 0)),
+    )
     return Scene(
         geometry=geometry,
         materials=materials,

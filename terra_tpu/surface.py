@@ -194,17 +194,23 @@ def surface_init(scene: Scene, tables: ShadeTables, o, d, tri_idx):
     attrs = mrow[:, 5:].reshape(-1, MAX_ATTRS, 3)
 
     # Texture-driven attributes override constants (Terra.c:1758-1762).
-    if scene.textures.num_textures > 0:
-        mats = scene.materials
+    # Only the statically-known textured slots are evaluated (each slot
+    # costs 4 bilinear texel gathers per lane — the dominant shade cost on
+    # big wavefronts when all 8 slots were sampled unconditionally).
+    mats = scene.materials
+    emissive = emissive_c
+    if scene.textures.num_textures > 0 and mats.tex_slots:
         slots = []
         for s in range(MAX_ATTRS):
-            slots.append(
-                _eval_attribute(scene, attrs[:, s, :], mats.attr_tex[mat_id, s], uv)
-            )
+            if s in mats.tex_slots:
+                slots.append(
+                    _eval_attribute(scene, attrs[:, s, :], mats.attr_tex[mat_id, s], uv)
+                )
+            else:
+                slots.append(attrs[:, s, :])
         attrs = jnp.stack(slots, axis=-2)
+    if scene.textures.num_textures > 0 and mats.emissive_textured:
         emissive = _eval_attribute(scene, emissive_c, mats.emissive_tex[mat_id], uv)
-    else:
-        emissive = emissive_c
 
     tangent, bitangent = math3.build_basis(normal)
     return Surface(

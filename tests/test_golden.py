@@ -137,10 +137,14 @@ def test_golden_textured():
     )
     attr_tex = np.asarray(scene.materials.attr_tex).copy()
     attr_tex[0, 0] = 0  # white-wall diffuse albedo <- checker
+    # tex_slots is static pytree metadata (like types_present): editing
+    # attr_tex without re-committing must update it in lockstep
     scene = dataclasses.replace(
         scene,
         textures=atlas,
-        materials=dataclasses.replace(scene.materials, attr_tex=jnp.asarray(attr_tex)),
+        materials=dataclasses.replace(
+            scene.materials, attr_tex=jnp.asarray(attr_tex), tex_slots=(0,)
+        ),
     )
     opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=8, bounces=2,
                             integrator=tt.Integrator.DIRECT)

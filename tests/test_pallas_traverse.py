@@ -46,6 +46,28 @@ def test_pallas_unsorted_matches_sorted():
     np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), rtol=1e-5)
 
 
+def test_pallas_occlusion_query_matches_brute():
+    """Ranged occlusion (t_max seeds best-t): hit means occluded strictly
+    within t_max, matching the brute closest-hit comparison."""
+    scene = tt.scenes.random_triangles(700, seed=700, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(11)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_ = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    t_max = jnp.asarray(rng.uniform(0.05, 3.0, (n,)).astype(np.float32))
+    occ = pallas_traverse.raycast(scene, o, d, interpret=True, t_max=t_max)
+    ta, tb, tc = scene.geometry.corners()
+    ref = intersect.raycast_brute(o, d, ta, tb, tc)
+    expect = np.asarray(ref.t) < np.asarray(t_max)
+    np.testing.assert_array_equal(np.asarray(occ.hit), expect)
+    # and the XLA packet walk agrees too
+    from terra_tpu.accel import traverse as xla_traverse
+
+    occ2 = xla_traverse.raycast(scene, o, d, t_max=t_max)
+    np.testing.assert_array_equal(np.asarray(occ2.hit), expect)
+
+
 @pytest.mark.parametrize("tris", [33, 3000])
 def test_pallas_watertight_matches_brute(tris):
     """Wald2013 watertight leaf test inside the kernel vs the brute
