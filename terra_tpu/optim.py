@@ -195,6 +195,7 @@ def recover(
         step_fn = make_train_step(cam, opts, target, optimizer)
     else:
         step_fn = make_train_step_sharded(cam, opts, target, optimizer, mesh)
+    refit_bvh = "positions" in fields and scene_init.bvh is not None
     losses = []
     for i in range(steps):
         state, loss = step_fn(state, scene_init, key)
@@ -205,6 +206,19 @@ def recover(
             if "emissive" in p:
                 p["emissive"] = jnp.maximum(p["emissive"], 0.0)
             state = TrainState(p, state.opt_state, state.step)
+        if refit_bvh:
+            # vertex edits move triangle bounds: refit the BVH AABBs
+            # host-side each step (the reference's "mesh move" forces a
+            # full rebuild, Scene.cpp:271-321; topology is unchanged here
+            # so a bottom-up refit suffices)
+            from .accel import lbvh as lbvh_mod
+
+            geom = dataclasses.replace(
+                scene_init.geometry, positions=state.params["positions"]
+            )
+            scene_init = dataclasses.replace(
+                scene_init, bvh=lbvh_mod.refit(scene_init.bvh, geom)
+            )
         losses.append(float(loss))
         if log_every and (i % log_every == 0):
             print(f"step {i:4d} loss {losses[-1]:.6f}")

@@ -360,7 +360,10 @@ class RenderOptions:
     bounces: int = 4
     integrator: Integrator = Integrator.SIMPLE
     sampling_method: SamplingMethod = SamplingMethod.RANDOM
-    accelerator: Accelerator = Accelerator.BRUTE
+    # BVH by default (matching the config registry): scenes committed
+    # without a BVH (scene.bvh is None) fall back to the brute sweep in
+    # make_raycast_fn, so small test scenes are unaffected.
+    accelerator: Accelerator = Accelerator.BVH
     tonemap: Tonemap = Tonemap.NONE
     subpixel_jitter: float = 0.0
     strata: int = 4

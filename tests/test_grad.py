@@ -84,6 +84,46 @@ def test_grad_vertex_positions_finite(small):
     assert np.abs(g).max() > 0.0
 
 
+def test_vertex_optimization_refits_bvh():
+    """Optimizing vertex positions on a BVH scene refits the AABBs each
+    step: after recovery the tree still contains every (moved) triangle."""
+    import dataclasses
+
+    scene = tt.scenes.random_triangles(200, seed=3, accelerator=tt.Accelerator.BVH)
+    cam = tt.scenes.cornell_camera()
+    cam = dataclasses.replace(
+        cam,
+        position=jnp.asarray([0.0, 0.0, -4.0]),
+        direction=jnp.asarray([0.0, 0.0, 1.0]),
+    )
+    opts = tt.RenderOptions(width=8, height=8, samples_per_pixel=2, bounces=1,
+                            integrator=tt.Integrator.SIMPLE, rr_start_bounce=8)
+    key = _key()
+    target = optim.render_mean_image(scene, cam, opts, key, jnp.int32(0), 2)
+    # perturb and recover a few steps; the loop must keep the BVH valid
+    pos0 = scene.geometry.positions + 0.05
+    scene0 = dataclasses.replace(
+        scene, geometry=dataclasses.replace(scene.geometry, positions=pos0)
+    )
+    recovered, losses = optim.recover(
+        scene0, cam, opts, jax.lax.stop_gradient(target),
+        fields=("positions",), steps=3, learning_rate=1e-2, seed=5,
+    )
+    assert np.isfinite(losses).all()
+    # AABB containment of the final tree vs the final positions
+    bvh = recovered.bvh
+    pos = np.asarray(recovered.geometry.positions)
+    vidx = np.asarray(recovered.geometry.tri_vidx)
+    ni = bvh.num_internal
+    bmin = np.asarray(bvh.node_min)
+    bmax = np.asarray(bvh.node_max)
+    leaf_tri = np.asarray(bvh.leaf_tri)
+    for c in range(bvh.num_leaves):
+        corners = pos[vidx[leaf_tri[c]]].reshape(-1, 3)
+        assert (corners.min(0) >= bmin[ni + c] - 1e-4).all()
+        assert (corners.max(0) <= bmax[ni + c] + 1e-4).all()
+
+
 def test_grad_replay_exact(small):
     """Same key -> backward replays the exact same RNG decisions: gradient
     is deterministic across calls."""
