@@ -130,6 +130,17 @@ def test_native_sah_build_validity():
     np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
 
 
+def test_render_options_default_accelerator_is_bvh():
+    """Regression guard: RenderOptions must default to BVH like the config
+    registry. A BRUTE default silently dense-swept BVH scenes from every
+    API-constructed option set (courtyard 384^2 render: 35 s vs 1.8 s)."""
+    from terra_tpu.config import Config
+
+    opts = tt.RenderOptions()
+    assert opts.accelerator == tt.Accelerator.BVH
+    assert Config().get("render_accelerator") == tt.Accelerator.BVH
+
+
 def test_native_obj_parse():
     from terra_tpu import native
 
