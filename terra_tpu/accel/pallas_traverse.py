@@ -303,8 +303,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             # Issue EVERY queued leaf's DMA before waiting on any — nq
             # copies in flight; unqueued slots re-copy leaf 0 (DMA start/
             # wait must stay unpredicated on this toolchain — only the
-            # dense test is masked — and a final partial round pays one
-            # dummy row slab, not one per pop like round 1).
+            # dense test is masked), and a final partial round pays one
+            # dummy row slab, not one per pop like round 1. (A ping-pong
+            # two-group variant that also overlapped copies with the NEXT
+            # fill phase measured a wash: 21.8/2.11 vs 23.1/2.08 Mrays/s —
+            # the in-flight queue + per-slot test overlap already hides
+            # the latency, so the extra structure was removed.)
             qids = []
             for j in range(nq):
                 qj = jnp.where(j < qn, queue_ref[j], 0)
