@@ -151,6 +151,19 @@ def test_golden_textured():
     _compare_scene(scene, opts, seed=19)
 
 
+@pytest.mark.parametrize("integrator", [tt.Integrator.DIRECT, tt.Integrator.DIRECT_MIS])
+def test_golden_bvh_path(integrator):
+    """The full BVH render path (packet traversal + seeded-t occlusion
+    queries) lane-matches the brute-force NumPy oracle: traversal must be
+    an exact closest-hit, not an approximation."""
+    scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BVH)
+    assert scene.bvh is not None
+    opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=8, bounces=2,
+                            integrator=integrator,
+                            accelerator=tt.Accelerator.BVH)
+    _compare_scene(scene, opts, seed=23)
+
+
 def test_golden_sampling_methods():
     for method in [tt.SamplingMethod.STRATIFIED, tt.SamplingMethod.HALTON]:
         opts = tt.RenderOptions(

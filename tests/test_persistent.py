@@ -20,6 +20,21 @@ def test_persistent_matches_scan(integrator):
     np.testing.assert_allclose(img_pers, img_scan, rtol=2e-4, atol=2e-4)
 
 
+def test_persistent_matches_scan_bvh():
+    """Same estimator equality through the BVH traversal path (exercises
+    lane regeneration + seeded-t shadow queries + dead-lane miss rays)."""
+    scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BVH)
+    cam = tt.scenes.cornell_camera()
+    base = dict(width=12, height=12, samples_per_pixel=8, bounces=3,
+                integrator=tt.Integrator.DIRECT, subpixel_jitter=0.5,
+                accelerator=tt.Accelerator.BVH)
+    img_scan = np.asarray(tt.render(scene, cam, tt.RenderOptions(**base), seed=5).mean())
+    img_pers = np.asarray(
+        tt.render(scene, cam, tt.RenderOptions(**base, samples_per_lane=4), seed=5).mean()
+    )
+    np.testing.assert_allclose(img_pers, img_scan, rtol=2e-4, atol=2e-4)
+
+
 def test_persistent_sample_counts():
     scene = tt.scenes.cornell_box()
     cam = tt.scenes.cornell_camera()
