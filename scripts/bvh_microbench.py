@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--row-groups", type=int, default=0,
                     help="leaf-test row bands (0 = kernel default)")
     ap.add_argument("--push-mode", default="entry", choices=["entry", "axis"])
+    ap.add_argument("--dual", action="store_true",
+                    help="two interleaved 1024-ray packets per grid step (pass --packet-rows 16)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -95,7 +97,7 @@ def main():
                                    count_steps=count_steps, interpret=args.cpu,
                                    algo=args.algo, queue=queue,
                                    row_groups=args.row_groups or pt.ROW_GROUPS,
-                                   push_mode=args.push_mode)
+                                   push_mode=args.push_mode, dual=args.dual)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

@@ -50,7 +50,8 @@ from ..intersect import RayHit, T_FAR, mt_components, watertight_components
 
 __all__ = ["raycast", "pack_tables", "PACKET", "QUEUE"]
 
-PACKET = 1024  # rays per packet: (8, 128) f32 register planes
+PACKET = 1024       # rays per packet: (8, 128) f32 register planes
+PACKET_DUAL = 2048  # two interleaved packets per grid step (the default)
 STACK_DEPTH = 96
 QUEUE = 4       # leaf DMAs in flight per drain round
 # Leaf-test row bands (masked independently per leaf). MEASURED NEGATIVE at
@@ -70,7 +71,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             *refs,
             ni: int, num_leaves: int, leaf_size: int, algo: str,
             nq: int, row_groups: int = 2, push_mode: str = "entry",
-            has_tmax: bool = False, count_steps: bool = False):
+            dual: bool = False, has_tmax: bool = False,
+            count_steps: bool = False):
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
     nodes_ref, links_ref, tris_ref, best_t_ref, best_i_ref, *rest = refs
@@ -98,16 +100,19 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         best_t_ref[...] = jnp.full(ox.shape, T_FAR, jnp.float32)
     best_i_ref[...] = jnp.zeros(ox.shape, jnp.int32)
 
-    def _child_hitmask(node):
-        """Per-lane AABB slab test vs node, pruned by per-ray best t.
-        Box fields are scalar SMEM loads broadcast into the vector test."""
+    _FULL = slice(None)
+
+    def _child_hitmask(node, sl: slice = _FULL):
+        """Per-lane AABB slab test vs node (row band ``sl``), pruned by
+        per-ray best t. Box fields are scalar SMEM loads broadcast into
+        the vector test."""
         b = node * 6
-        t1x = (nodes_ref[b + 0] - ox) * idx_
-        t2x = (nodes_ref[b + 3] - ox) * idx_
-        t1y = (nodes_ref[b + 1] - oy) * idy
-        t2y = (nodes_ref[b + 4] - oy) * idy
-        t1z = (nodes_ref[b + 2] - oz) * idz
-        t2z = (nodes_ref[b + 5] - oz) * idz
+        t1x = (nodes_ref[b + 0] - ox[sl]) * idx_[sl]
+        t2x = (nodes_ref[b + 3] - ox[sl]) * idx_[sl]
+        t1y = (nodes_ref[b + 1] - oy[sl]) * idy[sl]
+        t2y = (nodes_ref[b + 4] - oy[sl]) * idy[sl]
+        t1z = (nodes_ref[b + 2] - oz[sl]) * idz[sl]
+        t2z = (nodes_ref[b + 5] - oz[sl]) * idz[sl]
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -116,14 +121,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
-        hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
+        hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[sl])
         return hit, tmin
 
-    def child_entry(node):
+    def child_entry(node, sl: slice = _FULL):
         """Packet AABB test vs node -> min entry t (T_FAR on miss): the
         single masked-min reduction doubles as the any-hit test
         (entry < T_FAR)."""
-        hit, tmin = _child_hitmask(node)
+        hit, tmin = _child_hitmask(node, sl)
         return jnp.min(jnp.where(hit, tmin, T_FAR))
 
     isect = watertight_components if algo == "watertight" else mt_components
@@ -339,8 +344,115 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             if steps_ref is not None:
                 steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
-    pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                  pltpu.SMEM((max(nq, 2),), jnp.int32))
+    def run_dual(stack_ref, queue_ref):
+        """TWO independent 1024-ray packets traverse in lockstep inside one
+        grid step (rays (16,128): rows 0-7 = packet A, 8-15 = packet B).
+        Each loop iteration pops one node per packet and traces all four
+        child slab tests BEFORE any of the four reductions is consumed, so
+        one packet's reduction/scalar latency (the dominant pop cost)
+        overlaps the other packet's vector work."""
+        half = n_rows // 2
+        HS = (slice(0, half), slice(half, n_rows))
+
+        def push2_h(h, sp, second, push_second, first, push_first):
+            @pl.when(push_second)
+            def _():
+                stack_ref[h, sp] = second
+
+            sp = sp + push_second.astype(jnp.int32)
+
+            @pl.when(push_first)
+            def _():
+                stack_ref[h, sp] = first
+
+            return sp + push_first.astype(jnp.int32)
+
+        def pop_half(h, sp, qn):
+            do = (sp > 0) & (qn < nq)
+            spc = jnp.maximum(sp - 1, 0)
+            node = stack_ref[h, spc]
+            is_leaf = (node >= ni) & do
+
+            @pl.when(is_leaf)
+            def _():
+                queue_ref[h * nq + qn] = node - ni
+
+            qn = qn + is_leaf.astype(jnp.int32)
+            safe = jnp.where(node >= ni, 0, node)
+            l = links_ref[2 * safe] & LINK_MASK
+            r = links_ref[2 * safe + 1]
+            return do, spc, node >= ni, l, r, qn
+
+        def decide_push(h, do, spc, node_leaf, l, r, le, re, sp_old):
+            near_first = le <= re
+            first = jnp.where(near_first, l, r)
+            second = jnp.where(near_first, r, l)
+            gate = do & (~node_leaf)
+            push2 = gate & (jnp.maximum(le, re) < T_FAR)
+            push1 = gate & (jnp.minimum(le, re) < T_FAR)
+            sp_new = push2_h(h, spc, second, push2, first, push1)
+            return jnp.where(do, sp_new, sp_old)
+
+        cap2 = jnp.int32(16 * (ni + num_leaves) + 128)
+
+        def fill_pair(state):
+            spA, qnA, spB, qnB, steps = state
+            doA, spcA, leafA, lA, rA, qnA = pop_half(0, spA, qnA)
+            doB, spcB, leafB, lB, rB, qnB = pop_half(1, spB, qnB)
+            # all four vector tests traced before any reduction consumer
+            eAl = child_entry(lA, HS[0])
+            eBl = child_entry(lB, HS[1])
+            eAr = child_entry(rA, HS[0])
+            eBr = child_entry(rB, HS[1])
+            spA = decide_push(0, doA, spcA, leafA, lA, rA, eAl, eAr, spA)
+            spB = decide_push(1, doB, spcB, leafB, lB, rB, eBl, eBr, spB)
+            return spA, qnA, spB, qnB, steps + 1
+
+        def fill_cond(state):
+            spA, qnA, spB, qnB, steps = state
+            return (((spA > 0) & (qnA < nq)) | ((spB > 0) & (qnB < nq))) & (
+                steps < cap2
+            )
+
+        def round_body(state):
+            spA, spB, steps = state
+            spA, qnA, spB, qnB, steps = jax.lax.while_loop(
+                fill_cond, fill_pair,
+                (spA, jnp.int32(0), spB, jnp.int32(0), steps),
+            )
+            qids = []
+            qns = (qnA, qnB)
+            for j in range(2 * nq):
+                h, jj = divmod(j, nq)
+                qj = jnp.where(jj < qns[h], queue_ref[j], 0)
+                qids.append(qj)
+                leaf_dma(j, qj).start()
+            for j in range(2 * nq):
+                h, jj = divmod(j, nq)
+                leaf_dma(j, qids[j]).wait()
+
+                @pl.when(jj < qns[h])
+                def _(j=j, h=h):
+                    _dense_rows(j, HS[h])
+
+            return spA, spB, steps
+
+        stack_ref[0, 0] = jnp.int32(0)
+        stack_ref[1, 0] = jnp.int32(0)
+        _, _, steps = jax.lax.while_loop(
+            lambda st: ((st[0] > 0) | (st[1] > 0)) & (st[2] < cap2),
+            round_body,
+            (jnp.int32(1), jnp.int32(1), jnp.int32(0)),
+        )
+        if steps_ref is not None:
+            steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
+
+    if dual and ni > 0:
+        pl.run_scoped(run_dual, pltpu.SMEM((2, STACK_DEPTH), jnp.int32),
+                      pltpu.SMEM((2 * nq,), jnp.int32))
+    else:
+        pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                      pltpu.SMEM((max(nq, 2),), jnp.int32))
 
 
 def pack_tables(bvh, tri_a, tri_b, tri_c):
@@ -384,8 +496,8 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
 def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      packet_rows: int = 8, algo: str = "mt",
                      queue: int = QUEUE, row_groups: int = ROW_GROUPS,
-                     push_mode: str = "entry", t_max=None,
-                     count_steps: bool = False):
+                     push_mode: str = "entry", dual: bool = False,
+                     t_max=None, count_steps: bool = False):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``t_max``: (N,)
     seeds per-ray best-t (occlusion queries)."""
     n = o.shape[0]
@@ -405,7 +517,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
-        push_mode=push_mode,
+        push_mode=push_mode, dual=dual,
         has_tmax=t_max is not None, count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
@@ -426,8 +538,9 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((rows, 128), jnp.int32)] if count_steps else []),
         scratch_shapes=[
-            pltpu.VMEM((queue, bvh.leaf_size, TRI_FIELDS), jnp.float32),
-            pltpu.SemaphoreType.DMA((queue,)),
+            pltpu.VMEM(((2 if dual else 1) * queue, bvh.leaf_size, TRI_FIELDS),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA(((2 if dual else 1) * queue,)),
         ],
         interpret=interpret,
     )(*comps, nodes, links, tris)
@@ -501,7 +614,12 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         if tm is not None:
             tm = tm[order]
 
-    pad = -n % PACKET
+    # Two interleaved 1024-ray packets per grid step: one packet's
+    # reduction/scalar latency hides under the other's vector work
+    # (measured +11-15% across primary and incoherent sets).
+    dual = n >= PACKET_DUAL
+    blk = PACKET_DUAL if dual else PACKET
+    pad = -n % blk
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
@@ -509,6 +627,7 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)], axis=0)
 
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
+                                      packet_rows=16 if dual else 8, dual=dual,
                                       algo=algo, t_max=tm)
     best_t = best_t[:n]
     best_i = best_i[:n]
