@@ -35,8 +35,8 @@ def main():
     ap.add_argument("--row-groups", type=int, default=0,
                     help="leaf-test row bands (0 = kernel default)")
     ap.add_argument("--push-mode", default="entry", choices=["entry", "axis"])
-    ap.add_argument("--dual", action="store_true",
-                    help="two interleaved 1024-ray packets per grid step (pass --packet-rows 16)")
+    ap.add_argument("--ways", type=int, default=1,
+                    help="interleaved packets per grid step (pass --packet-rows 8*ways)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -97,7 +97,7 @@ def main():
                                    count_steps=count_steps, interpret=args.cpu,
                                    algo=args.algo, queue=queue,
                                    row_groups=args.row_groups or pt.ROW_GROUPS,
-                                   push_mode=args.push_mode, dual=args.dual)
+                                   push_mode=args.push_mode, ways=args.ways)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

@@ -50,8 +50,12 @@ from ..intersect import RayHit, T_FAR, mt_components, watertight_components
 
 __all__ = ["raycast", "pack_tables", "PACKET", "QUEUE"]
 
-PACKET = 1024       # rays per packet: (8, 128) f32 register planes
-PACKET_DUAL = 2048  # two interleaved packets per grid step (the default)
+PACKET = 1024    # rays per packet: (8, 128) f32 register planes
+# Packets traversing in lockstep per grid step. Measured sweep (76k tris,
+# dir3-primary / octant-incoherent Mrays/s): 1-way 28.4/2.08, 2-way
+# 31.6/2.38, 4-way 35.1/2.59, 8-way 35.4/2.65 but octant-primary REGRESSES
+# at 8 (26.6 -> 23.2; register/VMEM pressure). 4 is the sweet spot.
+INTERLEAVE = 4
 STACK_DEPTH = 96
 QUEUE = 4       # leaf DMAs in flight per drain round
 # Leaf-test row bands (masked independently per leaf). MEASURED NEGATIVE at
@@ -71,7 +75,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             *refs,
             ni: int, num_leaves: int, leaf_size: int, algo: str,
             nq: int, row_groups: int = 2, push_mode: str = "entry",
-            dual: bool = False, has_tmax: bool = False,
+            ways: int = 1, has_tmax: bool = False,
             count_steps: bool = False):
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
@@ -344,15 +348,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             if steps_ref is not None:
                 steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
-    def run_dual(stack_ref, queue_ref):
-        """TWO independent 1024-ray packets traverse in lockstep inside one
-        grid step (rays (16,128): rows 0-7 = packet A, 8-15 = packet B).
-        Each loop iteration pops one node per packet and traces all four
-        child slab tests BEFORE any of the four reductions is consumed, so
-        one packet's reduction/scalar latency (the dominant pop cost)
-        overlaps the other packet's vector work."""
-        half = n_rows // 2
-        HS = (slice(0, half), slice(half, n_rows))
+    def run_multi(stack_ref, queue_ref):
+        """``ways`` independent 1024-ray packets traverse in lockstep inside
+        one grid step (rays (8*ways,128): rows 8w..8w+7 = packet w). Each
+        loop iteration pops one node per packet and traces ALL child slab
+        tests BEFORE any of the reductions is consumed, so one packet's
+        reduction/scalar latency (the dominant pop cost) overlaps the other
+        packets' vector work."""
+        HS = [slice(w * 8, (w + 1) * 8) for w in range(ways)]
 
         def push2_h(h, sp, second, push_second, first, push_first):
             @pl.when(push_second)
@@ -393,41 +396,41 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sp_new = push2_h(h, spc, second, push2, first, push1)
             return jnp.where(do, sp_new, sp_old)
 
-        cap2 = jnp.int32(16 * (ni + num_leaves) + 128)
+        capm = jnp.int32(8 * ways * (ni + num_leaves) + 64 * ways)
 
         def fill_pair(state):
-            spA, qnA, spB, qnB, steps = state
-            doA, spcA, leafA, lA, rA, qnA = pop_half(0, spA, qnA)
-            doB, spcB, leafB, lB, rB, qnB = pop_half(1, spB, qnB)
-            # all four vector tests traced before any reduction consumer
-            eAl = child_entry(lA, HS[0])
-            eBl = child_entry(lB, HS[1])
-            eAr = child_entry(rA, HS[0])
-            eBr = child_entry(rB, HS[1])
-            spA = decide_push(0, doA, spcA, leafA, lA, rA, eAl, eAr, spA)
-            spB = decide_push(1, doB, spcB, leafB, lB, rB, eBl, eBr, spB)
-            return spA, qnA, spB, qnB, steps + 1
+            sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
+            pops = [pop_half(w, sps[w], qns[w]) for w in range(ways)]
+            # all vector tests traced before any reduction consumer
+            els = [child_entry(p[3], HS[w]) for w, p in enumerate(pops)]
+            ers = [child_entry(p[4], HS[w]) for w, p in enumerate(pops)]
+            new_sps = tuple(
+                decide_push(w, pops[w][0], pops[w][1], pops[w][2],
+                            pops[w][3], pops[w][4], els[w], ers[w], sps[w])
+                for w in range(ways)
+            )
+            new_qns = tuple(p[5] for p in pops)
+            return new_sps + new_qns + (steps + 1,)
 
         def fill_cond(state):
-            spA, qnA, spB, qnB, steps = state
-            return (((spA > 0) & (qnA < nq)) | ((spB > 0) & (qnB < nq))) & (
-                steps < cap2
-            )
+            sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
+            any_do = (sps[0] > 0) & (qns[0] < nq)
+            for w in range(1, ways):
+                any_do = any_do | ((sps[w] > 0) & (qns[w] < nq))
+            return any_do & (steps < capm)
 
         def round_body(state):
-            spA, spB, steps = state
-            spA, qnA, spB, qnB, steps = jax.lax.while_loop(
-                fill_cond, fill_pair,
-                (spA, jnp.int32(0), spB, jnp.int32(0), steps),
-            )
+            sps, steps = state[:ways], state[-1]
+            zero = tuple(jnp.int32(0) for _ in range(ways))
+            st = jax.lax.while_loop(fill_cond, fill_pair, sps + zero + (steps,))
+            sps, qns, steps = st[:ways], st[ways:2 * ways], st[-1]
             qids = []
-            qns = (qnA, qnB)
-            for j in range(2 * nq):
+            for j in range(ways * nq):
                 h, jj = divmod(j, nq)
                 qj = jnp.where(jj < qns[h], queue_ref[j], 0)
                 qids.append(qj)
                 leaf_dma(j, qj).start()
-            for j in range(2 * nq):
+            for j in range(ways * nq):
                 h, jj = divmod(j, nq)
                 leaf_dma(j, qids[j]).wait()
 
@@ -435,21 +438,27 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 def _(j=j, h=h):
                     _dense_rows(j, HS[h])
 
-            return spA, spB, steps
+            return sps + (steps,)
 
-        stack_ref[0, 0] = jnp.int32(0)
-        stack_ref[1, 0] = jnp.int32(0)
-        _, _, steps = jax.lax.while_loop(
-            lambda st: ((st[0] > 0) | (st[1] > 0)) & (st[2] < cap2),
-            round_body,
-            (jnp.int32(1), jnp.int32(1), jnp.int32(0)),
+        for w in range(ways):
+            stack_ref[w, 0] = jnp.int32(0)
+
+        def outer_cond(st):
+            alive = st[0] > 0
+            for w in range(1, ways):
+                alive = alive | (st[w] > 0)
+            return alive & (st[-1] < capm)
+
+        st = jax.lax.while_loop(
+            outer_cond, round_body,
+            tuple(jnp.int32(1) for _ in range(ways)) + (jnp.int32(0),),
         )
         if steps_ref is not None:
-            steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
+            steps_ref[...] = jnp.full_like(best_i_ref[...], st[-1])
 
-    if dual and ni > 0:
-        pl.run_scoped(run_dual, pltpu.SMEM((2, STACK_DEPTH), jnp.int32),
-                      pltpu.SMEM((2 * nq,), jnp.int32))
+    if ways > 1 and ni > 0:
+        pl.run_scoped(run_multi, pltpu.SMEM((ways, STACK_DEPTH), jnp.int32),
+                      pltpu.SMEM((ways * nq,), jnp.int32))
     else:
         pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                       pltpu.SMEM((max(nq, 2),), jnp.int32))
@@ -496,7 +505,7 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
 def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      packet_rows: int = 8, algo: str = "mt",
                      queue: int = QUEUE, row_groups: int = ROW_GROUPS,
-                     push_mode: str = "entry", dual: bool = False,
+                     push_mode: str = "entry", ways: int = 1,
                      t_max=None, count_steps: bool = False):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``t_max``: (N,)
     seeds per-ray best-t (occlusion queries)."""
@@ -517,7 +526,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
-        push_mode=push_mode, dual=dual,
+        push_mode=push_mode, ways=ways,
         has_tmax=t_max is not None, count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
@@ -538,9 +547,9 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((rows, 128), jnp.int32)] if count_steps else []),
         scratch_shapes=[
-            pltpu.VMEM(((2 if dual else 1) * queue, bvh.leaf_size, TRI_FIELDS),
+            pltpu.VMEM((max(ways, 1) * queue, bvh.leaf_size, TRI_FIELDS),
                        jnp.float32),
-            pltpu.SemaphoreType.DMA(((2 if dual else 1) * queue,)),
+            pltpu.SemaphoreType.DMA((max(ways, 1) * queue,)),
         ],
         interpret=interpret,
     )(*comps, nodes, links, tris)
@@ -614,11 +623,10 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         if tm is not None:
             tm = tm[order]
 
-    # Two interleaved 1024-ray packets per grid step: one packet's
-    # reduction/scalar latency hides under the other's vector work
-    # (measured +11-15% across primary and incoherent sets).
-    dual = n >= PACKET_DUAL
-    blk = PACKET_DUAL if dual else PACKET
+    # Interleaved packets per grid step: one packet's reduction/scalar
+    # latency (the dominant pop cost) hides under the others' vector work.
+    ways = INTERLEAVE if n >= PACKET * INTERLEAVE else 1
+    blk = PACKET * ways
     pad = -n % blk
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
@@ -627,7 +635,7 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)], axis=0)
 
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
-                                      packet_rows=16 if dual else 8, dual=dual,
+                                      packet_rows=8 * ways, ways=ways,
                                       algo=algo, t_max=tm)
     best_t = best_t[:n]
     best_i = best_i[:n]
