@@ -185,7 +185,9 @@ def bench_courtyard(tt, key):
         keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0],
                                        scene.bvh.node_max[0], mode="dir3")
         order = jnp.argsort(keys)
-        return pt._traverse_pallas(scene.bvh, *packed, o[order], d[order])
+        return pt._traverse_pallas(scene.bvh, *packed, o[order], d[order],
+                                   packet_rows=8 * pt.INTERLEAVE,
+                                   ways=pt.INTERLEAVE)
 
     run_j = jax.jit(run)
     jax.block_until_ready(run_j(o, d))
