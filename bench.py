@@ -1,15 +1,30 @@
 """Headline benchmarks: every BASELINE.md config, one JSON line each.
 
-Configs (BASELINE.md "Benchmark configs"):
+Configs (BASELINE.md "Benchmark configs"; the courtyard scene is PINNED at
+its default build = 241,764 triangles — each metric divides by a baseline
+of the same quantity measured at that size):
   1. cornell_fwd_mrays_per_chip — Cornell box, diffuse, 64 spp, 256².
      vs_baseline = value / 100 (driver target: >=100 Mrays/s/chip).
   2. cornell_ggx_mis_mrays — Cornell + GGX walls + MIS NEE, 512², 256 spp.
      vs_baseline = value / 28.0 (round-1 measured).
-  3. courtyard_bvh_mrays — Sponza-class ~305k-tri textured mesh: LBVH
-     build (reported as build_ms) + Pallas traversal throughput on sorted
-     primary rays. vs_baseline = value / 5.6 (round-1 measured).
+  3. courtyard_bvh_mrays — Sponza-class 242k-tri textured mesh: BVH build
+     (reported as build_ms) + Pallas traversal throughput on sorted
+     coherent primary rays. vs_baseline = value / 25.0 (round-2 measured
+     at the pinned scene size; round 1's 5.6 was at a 305k-tri variant).
+  3i. courtyard_incoherent_mrays — same scene, uniformly random origins/
+     directions (the bounce-ray regime that bounds production renders).
+     vs_baseline = value / 1.3 (round-2 measured).
+  3b. courtyard_render_mrays — the PRODUCTION path end-to-end (camera,
+     traversal, textured GGX shading, NEE shadow rays) at 384² 8 spp.
+     vs_baseline = value / 3.36 (round-2 measured, same quantity).
   4. inverse_step_ms — inverse-rendering step time (fwd+bwd+adam, 32² 8 spp
      DIRECT). vs_baseline = 100 / value (target: <=100 ms/step).
+
+Config 3 also runs a compiled-kernel correctness gate BEFORE timing: the
+compiled (non-interpret) Pallas traversal is checked against the brute-
+force intersector on a ray batch; a mismatch fails the config loudly. The
+interpret-mode tests in tests/test_pallas_traverse.py cover the kernel's
+logic; this gate covers the Mosaic-compiled artifact itself.
 
 Ray accounting (conservative, matches the reference's notion of a "ray" =
 one closest-hit traversal, TerraBVH.c:250): primary + per-bounce extension
@@ -20,6 +35,7 @@ Run directly on the TPU box, one process at a time (see CLAUDE.md).
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -28,8 +44,11 @@ import numpy as np
 
 BASE_CORNELL = 100.0   # driver target, Mrays/s/chip
 BASE_GGX_MIS = 28.0    # round-1 measured, Mrays/s
-BASE_COURTYARD = 5.6   # round-1 measured (305k tris, primary sorted), Mrays/s
+BASE_COURTYARD = 25.0  # round-2 measured (242k tris, primary sorted), Mrays/s
+BASE_COURTYARD_INCOH = 1.3   # round-2 measured (242k tris, random rays), Mrays/s
+BASE_COURTYARD_RENDER = 3.36  # round-2 measured (384^2 8spp DIRECT), Mrays/s
 BASE_INVERSE_MS = 100.0  # target ms/step
+COURTYARD_TRIS = 241764  # pinned scene size; a drift means the scene changed
 
 
 def _log(msg):
@@ -152,6 +171,36 @@ def bench_ggx_mis(tt, key):
           seconds=round(dt, 3))
 
 
+def _verify_compiled_kernel(scene, o, d, n_check: int = 2048):
+    """Correctness gate on the COMPILED Mosaic kernel: closest-hit of a ray
+    subset via the Pallas path must match the brute-force intersector.
+    Raises on mismatch (fails the config loudly before any timing).
+    Tri ids may legitimately differ on exact-t ties; t must agree."""
+    import jax
+    import jax.numpy as jnp
+    from terra_tpu import intersect
+    from terra_tpu.accel import pallas_traverse as pt
+
+    o_s, d_s = o[:n_check], d[:n_check]
+    hit_k = jax.jit(lambda o, d: pt.raycast(scene, o, d))(o_s, d_s)
+    tri_a, tri_b, tri_c = scene.geometry.corners()
+    hit_b = jax.jit(
+        lambda o, d: intersect.raycast_brute(o, d, tri_a, tri_b, tri_c)
+    )(o_s, d_s)
+    hk = np.asarray(hit_k.hit)
+    hb = np.asarray(hit_b.hit)
+    tk = np.asarray(hit_k.t)
+    tb = np.asarray(hit_b.t)
+    if not (hk == hb).all():
+        bad = int((hk != hb).sum())
+        raise AssertionError(f"compiled kernel hit mask mismatch on {bad}/{n_check} rays")
+    both = hk & hb
+    if both.any() and not np.allclose(tk[both], tb[both], rtol=1e-4, atol=1e-4):
+        worst = float(np.abs(tk[both] - tb[both]).max())
+        raise AssertionError(f"compiled kernel t mismatch (max |dt| = {worst})")
+    _log(f"  compiled-kernel gate ok ({n_check} rays vs brute force)")
+
+
 def bench_courtyard(tt, key):
     import jax
     import jax.numpy as jnp
@@ -159,12 +208,16 @@ def bench_courtyard(tt, key):
     from terra_tpu.accel import lbvh, pallas_traverse as pt
     from terra_tpu.accel import traverse as xla_traverse
 
-    _log("config 3: courtyard 305k-tri build+traversal ...")
+    _log("config 3: courtyard 242k-tri build+traversal ...")
     t0 = time.perf_counter()
-    scene = tt.scenes.courtyard()  # ~305k tris, textured, BVH accelerator
+    scene = tt.scenes.courtyard()  # pinned: 241,764 tris, textured, BVH
     jax.block_until_ready(scene.bvh.node_min)
     total_build_s = time.perf_counter() - t0
-    # isolate the LBVH build itself (scene construction includes geometry)
+    ntri = int(scene.geometry.tri_vidx.shape[0])
+    if ntri != COURTYARD_TRIS:
+        _log(f"  WARNING: courtyard drifted to {ntri} tris "
+             f"(baselines measured at {COURTYARD_TRIS})")
+    # isolate the BVH build itself (scene construction includes geometry)
     t0 = time.perf_counter()
     bvh = lbvh.build(scene.geometry, leaf_size=scene.bvh.leaf_size)
     jax.block_until_ready(bvh.node_min)
@@ -180,28 +233,44 @@ def bench_courtyard(tt, key):
     o, d = camera_mod.generate_rays(cam, side, side, px, py, 0.0, zeros, zeros)
     packed = pt.pack_tables(scene.bvh, *scene.geometry.corners())
 
-    def run(o, d):
-        # camera batches are known-coherent: direction-major key (dir3)
+    _verify_compiled_kernel(scene, o, d)
+
+    def run(o, d, mode):
         keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0],
-                                       scene.bvh.node_max[0], mode="dir3")
+                                       scene.bvh.node_max[0], mode=mode)
         order = jnp.argsort(keys)
         return pt._traverse_pallas(scene.bvh, *packed, o[order], d[order],
-                                   packet_rows=8 * pt.INTERLEAVE,
+                                   packet_rows=pt.PACKET_ROWS * pt.INTERLEAVE,
                                    ways=pt.INTERLEAVE)
 
-    run_j = jax.jit(run)
-    jax.block_until_ready(run_j(o, d))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run_j(o, d)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    mrays = n / dt / 1e6
-    ntri = int(scene.geometry.tri_vidx.shape[0])
+    def timed(o, d, mode):
+        run_j = jax.jit(functools.partial(run, mode=mode))
+        jax.block_until_ready(run_j(o, d))
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run_j(o, d)
+        jax.block_until_ready(out)
+        return n / ((time.perf_counter() - t0) / reps) / 1e6
+
+    # camera batches are known-coherent: direction-major key (dir3)
+    mrays = timed(o, d, "dir3")
     _emit("courtyard_bvh_mrays", mrays, "Mrays/s", mrays / BASE_COURTYARD,
           tris=ntri, build_ms=round(build_ms, 1),
           scene_build_s=round(total_build_s, 2))
+
+    # 3i: incoherent rays — uniformly random origins inside the scene bounds
+    # and uniform sphere directions (the bounce-ray regime). Octant sort.
+    _log("config 3i: courtyard incoherent rays ...")
+    rng = np.random.default_rng(11)
+    lo = np.asarray(scene.bvh.node_min[0])
+    hi = np.asarray(scene.bvh.node_max[0])
+    o_i = jnp.asarray(lo + rng.random((n, 3), np.float32) * (hi - lo))
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    d_i = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+    mrays_i = timed(o_i, d_i, "octant")
+    _emit("courtyard_incoherent_mrays", mrays_i, "Mrays/s",
+          mrays_i / BASE_COURTYARD_INCOH, tris=ntri)
 
     # 3b: the PRODUCTION path end-to-end — full render loop (camera, BVH
     # traversal, textured surfaces, GGX, NEE shadow rays, persistent lanes)
@@ -213,7 +282,7 @@ def bench_courtyard(tt, key):
     )
     mrays_r, dt_r = _timed_render(scene, cam, opts, key, shadow_rays_per_bounce=1)
     _emit("courtyard_render_mrays", mrays_r, "Mrays/s",
-          mrays_r / BASE_COURTYARD, seconds=round(dt_r, 3))
+          mrays_r / BASE_COURTYARD_RENDER, seconds=round(dt_r, 3))
 
 
 def bench_inverse(tt, key):

@@ -51,11 +51,17 @@ from ..intersect import RayHit, T_FAR, mt_components, watertight_components
 __all__ = ["raycast", "pack_tables", "PACKET", "QUEUE"]
 
 PACKET = 1024    # rays per packet: (8, 128) f32 register planes
+PACKET_ROWS = 8  # sublane rows per packet (PACKET // 128)
 # Packets traversing in lockstep per grid step. Measured sweep (76k tris,
 # dir3-primary / octant-incoherent Mrays/s): 1-way 28.4/2.08, 2-way
 # 31.6/2.38, 4-way 35.1/2.59, 8-way 35.4/2.65 but octant-primary REGRESSES
 # at 8 (26.6 -> 23.2; register/VMEM pressure). 4 is the sweet spot.
 INTERLEAVE = 4
+# Narrow-packet defaults for INCOHERENT batches (octant sort): rows per
+# packet x interleaved ways. Placeholder = the coherent shape until the
+# round-3 TPU sweep lands (narrow shapes selectable via packet_shape).
+INCOH_ROWS = 8
+INCOH_WAYS = 4
 STACK_DEPTH = 96
 QUEUE = 4       # leaf DMAs in flight per drain round
 # Leaf-test row bands (masked independently per leaf). MEASURED NEGATIVE at
@@ -75,7 +81,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             *refs,
             ni: int, num_leaves: int, leaf_size: int, algo: str,
             nq: int, row_groups: int = 2, push_mode: str = "entry",
-            ways: int = 1, has_tmax: bool = False,
+            ways: int = 1, rows_pp: int = 8, has_tmax: bool = False,
             count_steps: bool = False):
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
@@ -349,13 +355,19 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
     def run_multi(stack_ref, queue_ref):
-        """``ways`` independent 1024-ray packets traverse in lockstep inside
-        one grid step (rays (8*ways,128): rows 8w..8w+7 = packet w). Each
-        loop iteration pops one node per packet and traces ALL child slab
-        tests BEFORE any of the reductions is consumed, so one packet's
-        reduction/scalar latency (the dominant pop cost) overlaps the other
-        packets' vector work."""
-        HS = [slice(w * 8, (w + 1) * 8) for w in range(ways)]
+        """``ways`` independent packets of ``rows_pp``x128 rays traverse in
+        lockstep inside one grid step (rays (rows_pp*ways,128): rows
+        w*rows_pp..(w+1)*rows_pp-1 = packet w). Each loop iteration pops one
+        node per packet and traces ALL child slab tests BEFORE any of the
+        reductions is consumed, so one packet's reduction/scalar latency
+        (the dominant pop cost) overlaps the other packets' vector work.
+
+        Narrow packets (rows_pp < 8) attack packet-union dilation on
+        incoherent rays: a packet visits the union of its members' node
+        sets, and every visited leaf pays a dense test over the whole
+        packet — both shrink with the packet, while extra scalar pops hide
+        under the other packets' vector work."""
+        HS = [slice(w * rows_pp, (w + 1) * rows_pp) for w in range(ways)]
 
         def push2_h(h, sp, second, push_second, first, push_first):
             @pl.when(push_second)
@@ -507,11 +519,18 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      queue: int = QUEUE, row_groups: int = ROW_GROUPS,
                      push_mode: str = "entry", ways: int = 1,
                      t_max=None, count_steps: bool = False):
-    """o, d: (N, 3) with N a multiple of packet_rows*128. ``t_max``: (N,)
-    seeds per-ray best-t (occlusion queries)."""
+    """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
+    the BLOCK row count per grid step; with ``ways`` > 1 it splits into
+    ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
+    (N,) seeds per-ray best-t (occlusion queries)."""
     n = o.shape[0]
     num_packets = n // (packet_rows * 128)
     rows = num_packets * packet_rows
+    assert packet_rows % max(ways, 1) == 0
+    # Mosaic rejects ray blocks under 8 sublanes (CLAUDE.md): narrow packets
+    # must interleave enough ways to fill the (8k, 128) block.
+    assert packet_rows % 8 == 0, f"block rows {packet_rows} must be 8k"
+    rows_pp = packet_rows // max(ways, 1)
 
     def plane(v):
         return v.reshape(rows, 128)
@@ -526,7 +545,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     kernel = functools.partial(
         _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
-        push_mode=push_mode, ways=ways,
+        push_mode=push_mode, ways=ways, rows_pp=rows_pp,
         has_tmax=t_max is not None, count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
@@ -584,7 +603,7 @@ def supported(bvh) -> bool:
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             packed=None, algo: str = "mt", sort_mode: str = "octant",
-            t_max=None) -> RayHit:
+            t_max=None, packet_shape=None) -> RayHit:
     """Closest-hit via the Pallas ordered-stack packet traversal.
 
     ``packed``: optional (boxes, links, tris) from :func:`pack_tables` to
@@ -625,8 +644,18 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
 
     # Interleaved packets per grid step: one packet's reduction/scalar
     # latency (the dominant pop cost) hides under the others' vector work.
-    ways = INTERLEAVE if n >= PACKET * INTERLEAVE else 1
-    blk = PACKET * ways
+    # ``packet_shape`` = (rows per packet, interleaved ways); None picks the
+    # measured default for the coherence class: (8, 4) for sorted coherent
+    # batches, narrow (1, INCOH_WAYS) packets for incoherent/bounce batches
+    # (octant sort) where packet-union dilation dominates.
+    if packet_shape is None:
+        packet_shape = (PACKET_ROWS, INTERLEAVE) if sort_mode == "dir3" \
+            else (INCOH_ROWS, INCOH_WAYS)
+    rows_pp, ways = packet_shape
+    blk = rows_pp * 128 * ways
+    if n < blk:  # small batches: one classic 8-row packet
+        rows_pp, ways = PACKET_ROWS, 1
+        blk = PACKET
     pad = -n % blk
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
@@ -635,7 +664,7 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)], axis=0)
 
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
-                                      packet_rows=8 * ways, ways=ways,
+                                      packet_rows=rows_pp * ways, ways=ways,
                                       algo=algo, t_max=tm)
     best_t = best_t[:n]
     best_i = best_i[:n]

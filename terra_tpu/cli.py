@@ -81,11 +81,12 @@ def _autoload_scene_config(cfg: Config) -> Optional[str]:
 def _build_scene(cfg: Config, args):
     if getattr(args, "cornell", False) or not cfg.get("scene"):
         # honor the configured accelerator; default remains BRUTE (fastest
-        # for a 36-tri scene) unless the user asked for the BVH explicitly
+        # for a 36-tri scene) unless the user set one explicitly (via
+        # --opt, a config file, or the console's `opt set`)
         accel = Accelerator.BRUTE
-        if any("render_accelerator" in p for p in (getattr(args, "opt", None) or [])):
+        if "render_accelerator" in cfg.explicit:
             accel = cfg.get("render_accelerator")
-        scene = scenes.cornell_box(accelerator=accel)
+        scene = scenes.cornell_box(accelerator=accel, env_value=cfg.get("envmap_color"))
         cam = scenes.cornell_camera()
         return scene, cam
     from .io.obj import load_obj
@@ -166,6 +167,16 @@ def cmd_render(args) -> int:
                 save_render_state(args.checkpoint, film, seed)
             spp_done = int(np.asarray(film.samples).max())
             log.info("pass %d/%d done (%d spp total)", i + 1, passes, spp_done)
+            # headless analogue of the reference's live progressive display
+            # (Visualization.cpp:213-284): refresh the output image every N
+            # passes so a long render is observable (and usable) mid-flight
+            if (args.preview_every and args.output and (i + 1) % args.preview_every == 0
+                    and (i + 1) < passes):
+                from .io.image import save_image
+
+                save_image(args.output,
+                           np.asarray(develop(film, opts.tonemap, opts.manual_exposure, opts.gamma)))
+                log.info("preview written to %s (%d spp)", args.output, spp_done)
 
     img = develop(film, opts.tonemap, opts.manual_exposure, opts.gamma)
     if args.output:
@@ -316,16 +327,28 @@ def cmd_console(args) -> int:
                 if sub == "list":
                     print("\n".join(cfg.describe()))
                 elif sub == "set":
+                    before = cfg.scene_state()
                     cfg.set(rest[1], " ".join(rest[2:]))
                     film = None  # render-range options clear the film (App.cpp:619)
+                    if cfg.scene_state() != before:
+                        # scene-affecting option: re-commit on next use, the
+                        # reference's diff propagation (App.cpp:663-672 ->
+                        # Scene.cpp:426-454) — no explicit `reload` needed
+                        scene = None
                 elif sub == "load":
+                    before = cfg.scene_state()
                     load_config_file(rest[1], cfg)
                     film = None
+                    if cfg.scene_state() != before:
+                        scene = None
                 elif sub == "save":
                     cfg.save(rest[1])
                 elif sub == "reset":
+                    before = cfg.scene_state()
                     cfg = Config()
                     film = None
+                    if cfg.scene_state() != before:
+                        scene = None
             elif cmd == "resize":
                 cfg.set("width", rest[0])
                 cfg.set("height", rest[1])
@@ -371,6 +394,8 @@ def main(argv=None) -> int:
     pr.add_argument("--bounces", type=int)
     pr.add_argument("--integrator", help="simple|direct|direct-mis|debug-*")
     pr.add_argument("--passes", type=int, default=1, help="progressive passes (the reference's loop)")
+    pr.add_argument("--preview-every", type=int, default=0, metavar="N",
+                    help="rewrite the output image every N passes (progressive preview)")
     pr.add_argument("--config", help="config file (default: search satellite.config)")
     pr.add_argument("--save-config", help="write effective options to file")
     pr.add_argument("--opt", action="append", metavar="K=V", help="set any registry option")

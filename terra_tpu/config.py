@@ -17,7 +17,16 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from .scene import Accelerator, Camera, Integrator, Intersector, LightPick, RenderOptions, SamplingMethod, Tonemap
 
-__all__ = ["OPTIONS", "Config", "load_config_file", "find_config_file"]
+__all__ = ["OPTIONS", "SCENE_OPTIONS", "Config", "load_config_file", "find_config_file"]
+
+# Options whose change requires a scene re-commit — the reference's
+# effect classification (App.cpp:663-672 -> Scene.cpp:426-454 diffs every
+# option write and rebuilds only the affected subsystem). Everything else
+# only affects the next render launch (RenderOptions/Camera are rebuilt
+# from the config each step) or the film (cleared by the caller).
+SCENE_OPTIONS = frozenset({
+    "scene", "envmap_color", "render_accelerator", "render_bvh_builder",
+})
 
 CONFIG_SEARCH_PATHS = ["./", "../", "data/"]  # Config.cpp:115-124
 DEFAULT_CONFIG_NAME = "satellite.config"
@@ -109,14 +118,25 @@ class Config:
 
     def __init__(self, values: Optional[Dict[str, Any]] = None):
         self.values: Dict[str, Any] = {k: v.default for k, v in OPTIONS.items()}
+        # options written explicitly (file or set()) vs registry defaults —
+        # lets callers distinguish "user asked for X" from "default is X"
+        self.explicit: set = set()
         if values:
             self.values.update(values)
+            self.explicit.update(values)
 
     def set(self, name: str, raw: str):
         if name not in OPTIONS:
             raise KeyError(f"unknown option: {name}")
         spec = OPTIONS[name]
         self.values[name] = spec.parse(raw) if isinstance(raw, str) else raw
+        self.explicit.add(name)
+
+    def scene_state(self) -> tuple:
+        """Hashable snapshot of every scene-affecting option — compare
+        before/after an option write to decide whether the scene must be
+        re-committed (Scene.cpp:426-454's diff)."""
+        return tuple(self.values[k] for k in sorted(SCENE_OPTIONS))
 
     def get(self, name: str):
         return self.values[name]

@@ -11,6 +11,20 @@ Distributed: the sharded train step runs the forward+backward wavefront
 under ``shard_map`` with pixel rows / samples sharded; scene-parameter
 gradients are ``psum``-all-reduced over the mesh (ICI), which XLA overlaps
 with the backward sweep where profitable.
+
+KNOWN LIMITATION — visibility gradients. Vertex-position gradients flow
+through the *interior* terms only: the differentiable hit re-evaluation
+(hit point, normal, barycentrics) and every shading term that depends on
+them (NEE distance/cosine, BSDF frames). The raycast's discrete hit
+choice is stop-gradiented, so the estimator carries NO gradient through
+visibility discontinuities — moving a silhouette or shadow edge across a
+pixel contributes zero gradient even though the true derivative has a
+boundary term. This is the standard bias of interior-point differentiable
+path tracing; edge-sampling / reparameterization schemes (Li 2018,
+Loubet 2019) are out of scope. Consequence: geometry optimization works
+when the loss signal comes from shading/position changes on *fixed*
+topology (see tests/test_grad.py::test_grad_vertex_positions_matches_fd),
+and silhouette-driven recovery may stall.
 """
 from __future__ import annotations
 

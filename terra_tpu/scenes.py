@@ -58,6 +58,7 @@ def cornell_box(
     wall_bsdf: BSDFType = BSDFType.DIFFUSE,
     block_bsdf: BSDFType = BSDFType.DIFFUSE,
     block_ior: float = 1.5,
+    env_value=(0.0, 0.0, 0.0),
 ) -> Scene:
     """Classic Cornell box, left-handed Y-up, in a 0..556-ish unit cube
     (the standard Cornell dataset scaled as-is; camera looks down +Z).
@@ -149,7 +150,7 @@ def cornell_box(
         emissive_tex=jnp.full((m,), -1, jnp.int32),
         ior=jnp.asarray(iors),
     )
-    return commit(geom, materials, accelerator=accelerator)
+    return commit(geom, materials, accelerator=accelerator, env_value=env_value)
 
 
 def cornell_camera() -> Camera:

@@ -84,6 +84,44 @@ def test_grad_vertex_positions_finite(small):
     assert np.abs(g).max() > 0.0
 
 
+@pytest.mark.parametrize("integrator,tol", [
+    (tt.Integrator.DEBUG_DEPTH, 0.01),  # pure geometric hit-recompute path
+    (tt.Integrator.DIRECT, 0.03),       # shading-coupled (NEE d^2, cos, basis)
+])
+def test_grad_vertex_positions_matches_fd(integrator, tol):
+    """Finite-difference check of vertex-position gradients on a smooth
+    configuration: translate the back wall (object 2) along +z. No jitter,
+    no roulette, bounces=0 — the perturbation keeps every sampled ray on
+    the same triangle, so the interior gradient (through the differentiable
+    hit re-evaluation and the NEE shading terms) is exact and FD-clean.
+
+    What this does NOT cover — by design of the estimator: visibility
+    discontinuities (silhouette edges). The raycast's discrete hit choice
+    is stop-gradiented, so gradients through occlusion-boundary motion are
+    zero; see optim.py's module docstring for the documented limitation."""
+    scene = tt.scenes.cornell_box(with_blocks=False)
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(width=12, height=12, samples_per_pixel=4, bounces=0,
+                            integrator=integrator, subpixel_jitter=0.0,
+                            rr_start_bounce=10)
+    target = optim.render_mean_image(scene, cam, opts, _key(1), jnp.int32(0), 4)
+    wall_tris = np.asarray(scene.geometry.obj_id) == 2
+    rows = np.unique(np.asarray(scene.geometry.tri_vidx)[wall_tris])
+
+    def f(dz):
+        pos = scene.geometry.positions.at[rows, 2].add(dz)
+        s = optim.inject_params(scene, {"positions": pos})
+        img = optim.render_mean_image(s, cam, opts, _key(), jnp.int32(0), 4)
+        return jnp.mean((img - target * 0.5) ** 2)
+
+    x0 = jnp.float32(0.0)
+    g = float(jax.grad(f)(x0))
+    h = 2.0  # box units (~556-wide box): small vs geometry, large vs f32 noise
+    fd = (float(f(x0 + h)) - float(f(x0 - h))) / (2 * h)
+    assert np.isfinite(g)
+    assert abs(g - fd) < tol * max(abs(fd), 1e-7), (g, fd)
+
+
 def test_vertex_optimization_refits_bvh():
     """Optimizing vertex positions on a BVH scene refits the AABBs each
     step: after recovery the tree still contains every (moved) triangle."""

@@ -195,3 +195,71 @@ def test_per_scene_config_absent_is_noop(obj_scene):
     cfg = Config()
     cfg.set("scene", str(obj_scene).replace("box.obj", "missing.obj"))
     assert _autoload_scene_config(cfg) is None
+
+
+def test_console_opt_propagation(monkeypatch):
+    """A scene-affecting `opt set` re-commits the scene before the next
+    step, WITHOUT an explicit `reload` — the reference's config-diff
+    propagation (App.cpp:663-672 -> Scene.cpp:426-454)."""
+    import argparse
+
+    from terra_tpu import cli
+
+    calls = []
+    real_build = cli._build_scene
+
+    def counting_build(cfg, args):
+        calls.append(tuple(cfg.get("envmap_color")))
+        return real_build(cfg, args)
+
+    monkeypatch.setattr(cli, "_build_scene", counting_build)
+    lines = iter([
+        "opt set width 8", "opt set height 8", "opt set render_samples 1",
+        "opt set render_bounces 0", "opt set render_integrator simple",
+        "step",
+        "opt set render_exposure 2",   # render-range opt: film clears, NO rebuild
+        "step",
+        "opt set envmap_color 1 1 1",  # scene-affecting opt: rebuild on next step
+        "step",
+        "exit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    rc = cli.cmd_console(argparse.Namespace(scene=None, cornell=True))
+    assert rc == 0
+    # initial build + one rebuild triggered by envmap_color (and none by
+    # the render-range option in between)
+    assert calls == [(0.0, 0.0, 0.0), (1.0, 1.0, 1.0)]
+
+
+def test_cli_preview_every(tmp_path, monkeypatch):
+    """--preview-every N rewrites the output during --passes (the headless
+    analogue of the reference's progressive display, Visualization.cpp:213)."""
+    import terra_tpu.io.image as image_mod
+    from terra_tpu.cli import main
+
+    count = [0]
+    real = image_mod.save_image
+
+    def counting(path, img):
+        count[0] += 1
+        real(path, img)
+
+    monkeypatch.setattr(image_mod, "save_image", counting)
+    out = str(tmp_path / "o.png")
+    rc = main([
+        "render", "--cornell", "-o", out, "--width", "8", "--height", "8",
+        "--spp", "1", "--bounces", "0", "--integrator", "simple",
+        "--passes", "3", "--preview-every", "1",
+        "--opt", "render_accelerator=brute",
+    ])
+    assert rc == 0 and os.path.exists(out)
+    assert count[0] == 3  # previews after pass 1 and 2 + the final write
+
+
+def test_ldr_overflow_warning(tmp_path, caplog):
+    """Visualization.cpp:334-341: warn when clamping >1 values into LDR."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="terra_tpu"):
+        save_image(str(tmp_path / "x.png"), np.full((4, 4, 3), 2.0, np.float32))
+    assert any("clamping" in r.message for r in caplog.records)

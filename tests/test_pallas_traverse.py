@@ -86,3 +86,24 @@ def test_pallas_watertight_matches_brute(tris):
     np.testing.assert_allclose(
         np.asarray(hit_p.t)[both], np.asarray(hit_r.t)[both], rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (8, 4), (4, 2), (2, 8), (1, 8), (1, 16)])
+def test_pallas_packet_shapes_match_brute(shape):
+    """Every (rows_per_packet, interleave_ways) geometry — including the
+    narrow 128-ray packets used for incoherent batches — produces the same
+    closest hit (the traversal result is packet-shape invariant)."""
+    scene = tt.scenes.random_triangles(900, seed=44, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(5)
+    n = 4096
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_ = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    hit_p = pallas_traverse.raycast(scene, o, d, interpret=True, packet_shape=shape)
+    ta, tb, tc = scene.geometry.corners()
+    hit_r = intersect.raycast_brute(o, d, ta, tb, tc)
+    np.testing.assert_array_equal(np.asarray(hit_p.hit), np.asarray(hit_r.hit))
+    both = np.asarray(hit_p.hit) & np.asarray(hit_r.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit_p.t)[both], np.asarray(hit_r.t)[both], rtol=1e-4
+    )
