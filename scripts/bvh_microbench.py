@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--push-mode", default="entry", choices=["entry", "axis"])
     ap.add_argument("--ways", type=int, default=1,
                     help="interleaved packets per grid step (pass --packet-rows 8*ways)")
+    ap.add_argument("--arity", type=int, default=2, choices=[2, 4],
+                    help="2 = binary kernel, 4 = BVH4 wide kernel")
+    ap.add_argument("--box-enc", default="f32", choices=["f32", "bf16"],
+                    help="wide-node box encoding (bf16 = quantized, half SMEM)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -81,7 +85,10 @@ def main():
     d_i = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
 
     tri_a, tri_b, tri_c = scene.geometry.corners()
-    packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c)
+    if args.arity == 4:
+        packed = pt.pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc=args.box_enc)
+    else:
+        packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c)
 
     def run(o, d, rows, count_steps):
         m = o.shape[0]
@@ -97,7 +104,8 @@ def main():
                                    count_steps=count_steps, interpret=args.cpu,
                                    algo=args.algo, queue=queue,
                                    row_groups=args.row_groups or pt.ROW_GROUPS,
-                                   push_mode=args.push_mode, ways=args.ways)
+                                   push_mode=args.push_mode, ways=args.ways,
+                                   arity=args.arity, box_enc=args.box_enc)
 
     run_j = jax.jit(run, static_argnums=(2, 3))
 

@@ -45,8 +45,10 @@ DEFAULT_LEAF_SIZE = 16
         "tri_order",
         "dfs_next",
         "dfs_skip",
+        "wide_child",
+        "wide_src",
     ],
-    meta_fields=["leaf_size", "num_leaves"],
+    meta_fields=["leaf_size", "num_leaves", "num_wide"],
 )
 @dataclass
 class LBVH:
@@ -62,7 +64,16 @@ class LBVH:
                repeating the last valid id; degenerate duplicates are
                harmless for closest-hit)
     tri_order : (T,) morton-sorted triangle permutation (for debugging)
-    leaf_size, num_leaves : static metadata
+    wide_child : (W, 4) i32 — BVH4 overlay topology (greedy area-ordered
+                 collapse of the binary tree): wide node w's children, each
+                 an internal wide id < W, or W + leaf_id, or -1 empty.
+                 The binary tree stays canonical (XLA fallback, refit);
+                 the Pallas kernel traverses this 4-wide view to halve the
+                 pop count per ray.
+    wide_src : (W, 4) i32 — the BINARY node id bounding each wide child
+               (-1 empty). Child boxes are GATHERED from node_min/max at
+               pack time, so ``refit`` keeps the wide view valid for free.
+    leaf_size, num_leaves, num_wide : static metadata
     """
 
     node_min: jax.Array
@@ -74,8 +85,11 @@ class LBVH:
     tri_order: jax.Array
     dfs_next: jax.Array  # (ni+C,) preorder successor (stackless threading)
     dfs_skip: jax.Array  # (ni+C,) preorder successor skipping the subtree
+    wide_child: jax.Array
+    wide_src: jax.Array
     leaf_size: int
     num_leaves: int
+    num_wide: int
 
     @property
     def num_internal(self) -> int:
@@ -193,7 +207,13 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
     from . import pallas_traverse as _pt
 
     def _node_bytes(leaves):
-        return (2 * leaves - 1) * 24 + max(leaves - 1, 1) * 8
+        # what the Pallas kernel will actually hold in SMEM: the smaller of
+        # the quantized BVH4 overlay (64 B/wide node; ~0.52 wide nodes per
+        # leaf measured on courtyard-class SAH trees) and the binary tables
+        # — whichever fits is what raycast will traverse, so min() is safe
+        wide = int(leaves * 0.55) * 64
+        binary = (2 * leaves - 1) * 24 + max(leaves - 1, 1) * 8
+        return min(wide, binary)
 
     use_sah = builder == "sah" and native.available()
     auto = leaf_size is None
@@ -217,6 +237,8 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
         nat = native.sah_build(pos, vidx, leaf_size)
     if nat is not None:
         c = nat["num_leaves"]
+        wc, ws, nw = _collapse4(nat["left"], nat["right"],
+                                nat["box_min"], nat["box_max"])
         return LBVH(
             node_min=jnp.asarray(nat["box_min"]),
             node_max=jnp.asarray(nat["box_max"]),
@@ -227,8 +249,11 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
             tri_order=jnp.asarray(nat["tri_order"]),
             dfs_next=jnp.asarray(nat["dfs_next"]),
             dfs_skip=jnp.asarray(nat["dfs_skip"]),
+            wide_child=jnp.asarray(wc),
+            wide_src=jnp.asarray(ws),
             leaf_size=leaf_size,
             num_leaves=c,
+            num_wide=nw,
         )
     a, b, c3 = pos[vidx[:, 0]], pos[vidx[:, 1]], pos[vidx[:, 2]]
     t = len(vidx)
@@ -258,6 +283,7 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
     # [internal; leaf] id space
     node_min, node_max = _refit_host(pos, vidx, leaf_tri, left, right)
     dfs_next, dfs_skip = _thread_tree(left, right, num_leaves)
+    wc, ws, nw = _collapse4(left, right, node_min, node_max)
 
     return LBVH(
         node_min=jnp.asarray(node_min),
@@ -269,9 +295,57 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
         tri_order=jnp.asarray(order),
         dfs_next=jnp.asarray(dfs_next),
         dfs_skip=jnp.asarray(dfs_skip),
+        wide_child=jnp.asarray(wc),
+        wide_src=jnp.asarray(ws),
         leaf_size=leaf_size,
         num_leaves=num_leaves,
+        num_wide=nw,
     )
+
+
+def _collapse4(left, right, node_min, node_max):
+    """Greedy binary -> 4-wide collapse (host, at build time).
+
+    Each wide node starts from a binary internal node's two children and
+    repeatedly expands the largest-surface-area internal slot until four
+    slots are filled (the standard SAH-guided collapse; the reference has
+    no analogue — its 2-wide node is TerraBVH.h:12-22). Returns
+    (wide_child, wide_src, n_wide); see the LBVH docstring for encoding.
+    """
+    ni = len(left)
+    if ni == 0:
+        return (np.zeros((0, 4), np.int32), np.full((0, 4), -1, np.int32), 0)
+    ext = np.maximum(node_max - node_min, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 0] * ext[:, 2]
+
+    children: list = [None]  # children[w] = slot list of BINARY ids
+    wide_of = {0: 0}
+    work = [0]
+    while work:
+        b = work.pop()
+        slots = [int(left[b]), int(right[b])]
+        while len(slots) < 4:
+            internals = [s for s in slots if s < ni]
+            if not internals:
+                break
+            s = max(internals, key=lambda x: area[x])
+            slots.remove(s)
+            slots.extend([int(left[s]), int(right[s])])
+        children[wide_of[b]] = slots
+        for s in slots:
+            if s < ni:
+                wide_of[s] = len(children)
+                children.append(None)
+                work.append(s)
+
+    n_wide = len(children)
+    wide_child = np.full((n_wide, 4), -1, np.int32)
+    wide_src = np.full((n_wide, 4), -1, np.int32)
+    for w, slots in enumerate(children):
+        for j, s in enumerate(slots):
+            wide_src[w, j] = s
+            wide_child[w, j] = wide_of[s] if s < ni else n_wide + (s - ni)
+    return wide_child, wide_src, n_wide
 
 
 def _thread_tree(left, right, num_leaves):

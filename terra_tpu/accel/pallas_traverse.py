@@ -81,7 +81,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             *refs,
             ni: int, num_leaves: int, leaf_size: int, algo: str,
             nq: int, row_groups: int = 2, push_mode: str = "entry",
-            ways: int = 1, rows_pp: int = 8, has_tmax: bool = False,
+            ways: int = 1, rows_pp: int = 8, arity: int = 2,
+            box_enc: str = "f32",
+            has_tmax: bool = False,
             count_steps: bool = False):
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
@@ -112,17 +114,30 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     _FULL = slice(None)
 
-    def _child_hitmask(node, sl: slice = _FULL):
-        """Per-lane AABB slab test vs node (row band ``sl``), pruned by
-        per-ray best t. Box fields are scalar SMEM loads broadcast into
-        the vector test."""
-        b = node * 6
-        t1x = (nodes_ref[b + 0] - ox[sl]) * idx_[sl]
-        t2x = (nodes_ref[b + 3] - ox[sl]) * idx_[sl]
-        t1y = (nodes_ref[b + 1] - oy[sl]) * idy[sl]
-        t2y = (nodes_ref[b + 4] - oy[sl]) * idy[sl]
-        t1z = (nodes_ref[b + 2] - oz[sl]) * idz[sl]
-        t2z = (nodes_ref[b + 5] - oz[sl]) * idz[sl]
+    def _load_box(b):
+        """Box fields [minx,miny,minz,maxx,maxy,maxz] at flat offset ``b``
+        of the node table: plain f32 scalar loads, or bf16-pair decode
+        (min in the high half-word rounded down, max in the low half
+        rounded up — conservative dilation, see pack_tables_wide)."""
+        if box_enc == "bf16":
+            ws = [nodes_ref[b + a] for a in range(3)]
+            mn = [jax.lax.bitcast_convert_type(w & jnp.int32(~0xFFFF), jnp.float32)
+                  for w in ws]
+            mx = [jax.lax.bitcast_convert_type(w << 16, jnp.float32) for w in ws]
+            return mn + mx
+        return [nodes_ref[b + f] for f in range(6)]
+
+    def _hitmask_at(b, sl: slice = _FULL):
+        """Per-lane AABB slab test vs the box at flat offset ``b`` of the
+        node table (row band ``sl``), pruned by per-ray best t. Box fields
+        are scalar SMEM loads broadcast into the vector test."""
+        box = _load_box(b)
+        t1x = (box[0] - ox[sl]) * idx_[sl]
+        t2x = (box[3] - ox[sl]) * idx_[sl]
+        t1y = (box[1] - oy[sl]) * idy[sl]
+        t2y = (box[4] - oy[sl]) * idy[sl]
+        t1z = (box[2] - oz[sl]) * idz[sl]
+        t2z = (box[5] - oz[sl]) * idz[sl]
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -134,16 +149,26 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[sl])
         return hit, tmin
 
-    def child_entry(node, sl: slice = _FULL):
-        """Packet AABB test vs node -> min entry t (T_FAR on miss): the
-        single masked-min reduction doubles as the any-hit test
-        (entry < T_FAR)."""
-        hit, tmin = _child_hitmask(node, sl)
+    def _child_hitmask(node, sl: slice = _FULL):
+        return _hitmask_at(node * 6, sl)
+
+    def entry_at(b, sl: slice = _FULL):
+        """Packet AABB test vs the box at flat offset ``b`` -> min entry t
+        (T_FAR on miss): the single masked-min reduction doubles as the
+        any-hit test (entry < T_FAR)."""
+        hit, tmin = _hitmask_at(b, sl)
         return jnp.min(jnp.where(hit, tmin, T_FAR))
+
+    def child_entry(node, sl: slice = _FULL):
+        return entry_at(node * 6, sl)
 
     isect = watertight_components if algo == "watertight" else mt_components
     n_rows = ox.shape[0]
     n_groups = row_groups if n_rows % max(row_groups, 1) == 0 else 1
+    if arity == 4:
+        # row-group leaf masking reads leaf boxes from the BINARY node
+        # table, which the wide kernel does not carry
+        n_groups = 1
     gr = n_rows // max(n_groups, 1)
 
     def _dense_rows(slot: int, sl: slice):
@@ -383,6 +408,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return sp + push_first.astype(jnp.int32)
 
         def pop_half(h, sp, qn):
+            """Pop for packet h: leaves queue; internals return their child
+            links (2 or 4) plus the safe parent id (wide boxes live at the
+            PARENT's table row)."""
             do = (sp > 0) & (qn < nq)
             spc = jnp.maximum(sp - 1, 0)
             node = stack_ref[h, spc]
@@ -394,11 +422,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
             qn = qn + is_leaf.astype(jnp.int32)
             safe = jnp.where(node >= ni, 0, node)
-            l = links_ref[2 * safe] & LINK_MASK
-            r = links_ref[2 * safe + 1]
-            return do, spc, node >= ni, l, r, qn
+            if arity == 2:
+                links = (links_ref[2 * safe] & LINK_MASK, links_ref[2 * safe + 1])
+            else:
+                links = tuple(links_ref[4 * safe + c] for c in range(4))
+            return do, spc, node >= ni, links, safe, qn
 
-        def decide_push(h, do, spc, node_leaf, l, r, le, re, sp_old):
+        def decide_push(h, do, spc, node_leaf, links, le, re, sp_old):
+            l, r = links
             near_first = le <= re
             first = jnp.where(near_first, l, r)
             second = jnp.where(near_first, r, l)
@@ -408,19 +439,54 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sp_new = push2_h(h, spc, second, push2, first, push1)
             return jnp.where(do, sp_new, sp_old)
 
+        def decide_push4(h, do, spc, node_leaf, links, ents, sp_old):
+            """Entry-ordered push of up to 4 hit children: a 5-exchange
+            sorting network orders (entry, link) pairs ascending, children
+            push far-first so the nearest subtree pops first and best-t
+            prunes the rest (the same property the binary path has)."""
+            e = list(ents)
+            l = list(links)
+            for i, j in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)):
+                sw = e[j] < e[i]
+                e[i], e[j] = jnp.where(sw, e[j], e[i]), jnp.where(sw, e[i], e[j])
+                l[i], l[j] = jnp.where(sw, l[j], l[i]), jnp.where(sw, l[i], l[j])
+            gate = do & (~node_leaf)
+            sp = spc
+            for k in (3, 2, 1, 0):  # far first; nearest ends on top
+                p = gate & (e[k] < T_FAR)
+
+                @pl.when(p)
+                def _(sp=sp, k=k):
+                    stack_ref[h, sp] = l[k]
+
+                sp = sp + p.astype(jnp.int32)
+            return jnp.where(do, sp, sp_old)
+
         capm = jnp.int32(8 * ways * (ni + num_leaves) + 64 * ways)
 
         def fill_pair(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
             pops = [pop_half(w, sps[w], qns[w]) for w in range(ways)]
             # all vector tests traced before any reduction consumer
-            els = [child_entry(p[3], HS[w]) for w, p in enumerate(pops)]
-            ers = [child_entry(p[4], HS[w]) for w, p in enumerate(pops)]
-            new_sps = tuple(
-                decide_push(w, pops[w][0], pops[w][1], pops[w][2],
-                            pops[w][3], pops[w][4], els[w], ers[w], sps[w])
-                for w in range(ways)
-            )
+            if arity == 2:
+                els = [child_entry(p[3][0], HS[w]) for w, p in enumerate(pops)]
+                ers = [child_entry(p[3][1], HS[w]) for w, p in enumerate(pops)]
+                new_sps = tuple(
+                    decide_push(w, pops[w][0], pops[w][1], pops[w][2],
+                                pops[w][3], els[w], ers[w], sps[w])
+                    for w in range(ways)
+                )
+            else:
+                cs = 3 if box_enc == "bf16" else 6  # words per child box
+                ents = [
+                    tuple(entry_at(4 * cs * p[4] + cs * c, HS[w]) for c in range(4))
+                    for w, p in enumerate(pops)
+                ]
+                new_sps = tuple(
+                    decide_push4(w, pops[w][0], pops[w][1], pops[w][2],
+                                 pops[w][3], ents[w], sps[w])
+                    for w in range(ways)
+                )
             new_qns = tuple(p[5] for p in pops)
             return new_sps + new_qns + (steps + 1,)
 
@@ -468,9 +534,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         if steps_ref is not None:
             steps_ref[...] = jnp.full_like(best_i_ref[...], st[-1])
 
-    if ways > 1 and ni > 0:
-        pl.run_scoped(run_multi, pltpu.SMEM((ways, STACK_DEPTH), jnp.int32),
-                      pltpu.SMEM((ways * nq,), jnp.int32))
+    if (ways > 1 or arity == 4) and ni > 0:
+        pl.run_scoped(run_multi, pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
+                      pltpu.SMEM((max(ways, 1) * nq,), jnp.int32))
     else:
         pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                       pltpu.SMEM((max(nq, 2),), jnp.int32))
@@ -502,6 +568,10 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
     else:
         links = jnp.zeros((2,), jnp.int32)
 
+    return nodes, links, _pack_tris(bvh, tri_a, tri_b, tri_c)
+
+
+def _pack_tris(bvh, tri_a, tri_b, tri_c):
     leaf_flat = bvh.leaf_tri.reshape(-1)
     a = tri_a[leaf_flat]
     b = tri_b[leaf_flat]
@@ -511,13 +581,95 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
     tris = jnp.zeros((slots, TRI_FIELDS), jnp.float32)
     tris = tris.at[:, :9].set(corners)
     tris = tris.at[:, 9].set(leaf_flat.astype(jnp.float32))
-    return nodes, links, tris
+    return tris
+
+
+def _bf16_down_bits(x):
+    """Bit pattern of the largest bf16 <= x (round toward -inf). IEEE754 is
+    sign-magnitude: mantissa truncation rounds toward ZERO, so negative
+    values with dropped bits step one bf16 ulp away from zero."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    low = b & 0xFFFF
+    trunc = b & jnp.int32(~0xFFFF)
+    return jnp.where((x < 0) & (low != 0), trunc + 0x10000, trunc)
+
+
+def _bf16_up_bits(x):
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    low = b & 0xFFFF
+    trunc = b & jnp.int32(~0xFFFF)
+    return jnp.where((x > 0) & (low != 0), trunc + 0x10000, trunc)
+
+
+def pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc: str = "f32"):
+    """Pack the BVH4 overlay for the wide kernel.
+
+    Returns (nodes4, links4, tris):
+      nodes4 : box_enc="f32": (W*24,) f32 flat SMEM table — wide node w's
+               child c box (minx..maxz) at [w*24 + c*6, +6).
+               box_enc="bf16": (W*12,) i32 — per axis ONE word packing
+               min (high 16, rounded toward -inf) and max (low 16, rounded
+               toward +inf): conservatively DILATED boxes (<=0.8% per side),
+               exact traversal results, half the SMEM (TerraBVH.h:12-22 made
+               the same node-bytes trade at 64B; this is ours at 64B/4-wide).
+      links4 : (W*4,) i32 child table (wide id, or W + leaf_id)
+      tris   : as in pack_tables (shared leaf layout)
+
+    Child boxes are gathered from the LIVE binary node boxes through
+    ``wide_src``, so a refit (edit.py vertex moves) updates the wide view
+    with no topology rebuild."""
+    boxes = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)  # (2L-1, 6)
+    src = bvh.wide_src  # (W, 4)
+    g = boxes[jnp.maximum(src, 0)]  # (W, 4, 6)
+    # Empty slot = a DEGENERATE point box at +3e38: every slab pair gives
+    # t1 == t2, so the strict entry test (tmax > max(tmin, 0)) can never
+    # pass — for ANY direction sign. (An "inverted" min>max box is NOT
+    # safe: a negative direction component swaps the slabs back.)
+    empty = jnp.full((6,), 3e38, jnp.float32)
+    g = jnp.where((src < 0)[..., None], empty, g)
+    links4 = jnp.maximum(bvh.wide_child, 0).reshape(-1)
+    if box_enc == "bf16":
+        mn = _bf16_down_bits(g[..., 0:3])            # (W, 4, 3) i32
+        mx = _bf16_up_bits(g[..., 3:6])
+        words = (mn & jnp.int32(~0xFFFF)) | ((mx >> 16) & 0xFFFF)
+        return words.reshape(-1), links4, _pack_tris(bvh, tri_a, tri_b, tri_c)
+    nodes4 = g.reshape(-1)
+    return nodes4, links4, _pack_tris(bvh, tri_a, tri_b, tri_c)
+
+
+def wide_mode(bvh):
+    """Box encoding for the BVH4 overlay: "f32" when the full-precision
+    table fits SMEM, "bf16" (half the bytes, conservatively dilated boxes)
+    when only the quantized one does, None when the overlay is absent or
+    even the quantized table overflows."""
+    nw = getattr(bvh, "num_wide", 0)
+    if nw <= 0:
+        return None
+    if nw * (24 * 4 + 4 * 4) <= SMEM_NODE_BUDGET:
+        return "f32"
+    if nw * (12 * 4 + 4 * 4) <= SMEM_NODE_BUDGET:
+        return "bf16"
+    return None
+
+
+def use_wide(bvh) -> bool:
+    """Traverse the BVH4 overlay when it exists and fits SMEM."""
+    return wide_mode(bvh) is not None
+
+
+def pack_tables_auto(bvh, tri_a, tri_b, tri_c):
+    """The table set matching what :func:`raycast` will traverse."""
+    mode = wide_mode(bvh)
+    if mode is not None:
+        return pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc=mode)
+    return pack_tables(bvh, tri_a, tri_b, tri_c)
 
 
 def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      packet_rows: int = 8, algo: str = "mt",
                      queue: int = QUEUE, row_groups: int = ROW_GROUPS,
                      push_mode: str = "entry", ways: int = 1,
+                     arity: int = 2, box_enc: str = "f32",
                      t_max=None, count_steps: bool = False):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
@@ -542,10 +694,12 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
 
     ray_spec = pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    ni = bvh.num_wide if arity == 4 else bvh.num_internal
     kernel = functools.partial(
-        _kernel, ni=bvh.num_internal, num_leaves=bvh.num_leaves,
+        _kernel, ni=ni, num_leaves=bvh.num_leaves,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
-        push_mode=push_mode, ways=ways, rows_pp=rows_pp,
+        push_mode=push_mode, ways=ways, rows_pp=rows_pp, arity=arity,
+        box_enc=box_enc,
         has_tmax=t_max is not None, count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
@@ -587,6 +741,8 @@ SMEM_NODE_BUDGET = 700 << 10  # bytes
 
 
 def fits_smem(bvh) -> bool:
+    if use_wide(bvh):
+        return True
     nn = 2 * bvh.num_leaves - 1 if bvh.num_leaves else 1
     return nn * 6 * 4 + max(bvh.num_internal, 1) * 2 * 4 <= SMEM_NODE_BUDGET
 
@@ -594,10 +750,10 @@ def fits_smem(bvh) -> bool:
 def supported(bvh) -> bool:
     """Whole scene drivable by the Pallas kernel on this toolchain.
 
-    Only the SMEM node-table budget gates: the triangle table lives in
-    HBM (per-leaf DMA), so the tri count is unbounded. ``scene.commit``
-    scales the LBVH leaf size so Sponza-class scenes stay under the node
-    budget."""
+    Only the SMEM node-table budget gates (wide BVH4 tables at ~40 B/leaf
+    or the binary tables at ~64 B/leaf): the triangle table lives in HBM
+    (per-leaf DMA), so the tri count is unbounded. ``scene.commit`` scales
+    the leaf size so Sponza-class scenes stay under the node budget."""
     return fits_smem(bvh)
 
 
@@ -624,9 +780,10 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     if not fits_smem(bvh) and not interpret:
         return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays, algo=algo,
                                     t_max=t_max)
+    mode = wide_mode(bvh)
     tri_a, tri_b, tri_c = scene.geometry.corners()
     if packed is None:
-        packed = pack_tables(bvh, tri_a, tri_b, tri_c)
+        packed = pack_tables_auto(bvh, tri_a, tri_b, tri_c)
     nodes, links, tris = packed
     n = o.shape[0]
     tm = t_max
@@ -665,6 +822,8 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
 
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
                                       packet_rows=rows_pp * ways, ways=ways,
+                                      arity=4 if mode else 2,
+                                      box_enc=mode or "f32",
                                       algo=algo, t_max=tm)
     best_t = best_t[:n]
     best_i = best_i[:n]

@@ -36,7 +36,7 @@ from .scene import Accelerator, LightPick, RenderOptions, SamplingMethod, Scene,
 from .surface import surface_init
 from . import textures as textures_mod
 
-__all__ = ["render", "render_chunk", "trace", "make_raycast_fn"]
+__all__ = ["render", "render_chunk", "render_chunks", "trace", "make_raycast_fn"]
 
 EPS = np.float32(1e-4)
 
@@ -67,7 +67,7 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
             and pallas_traverse.supported(scene.bvh)
         )
         if use_pallas:
-            packed = pallas_traverse.pack_tables(
+            packed = pallas_traverse.pack_tables_auto(
                 scene.bvh, *scene.geometry.corners()
             )
 
@@ -439,6 +439,29 @@ def render_chunk(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_off
     return render_rows(scene, cam, opts, key, sample_offset, spp_chunk, 0, opts.height)
 
 
+@partial(jax.jit, static_argnames=("opts", "spp_chunk", "n_chunks"))
+def render_chunks(scene: Scene, cam: Camera, opts: RenderOptions, key,
+                  sample_offset, spp_chunk: int, n_chunks: int):
+    """``n_chunks`` sample chunks in ONE device launch: a ``lax.scan`` over
+    sample offsets whose body is the whole chunk render. Identical
+    estimator and accumulation order to looping :func:`render_chunk` on the
+    host (the per-chunk sums add in the same sequence), but the fixed
+    dispatch/launch overhead is paid once per pass instead of once per
+    chunk — the launch-amortization the reference gets from re-pushing the
+    whole tile grid per iteration (Renderer.cpp:134-151). The live
+    wavefront footprint is still one chunk; the scan carry is only the
+    (H, W, 3) film-accumulation plane."""
+
+    def body(acc, i):
+        off = sample_offset + i * spp_chunk
+        acc = acc + render_rows(scene, cam, opts, key, off, spp_chunk, 0, opts.height)
+        return acc, None
+
+    init = jnp.zeros((opts.height, opts.width, 3), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return acc
+
+
 def render(
     scene: Scene,
     cam: Camera,
@@ -470,7 +493,12 @@ def render(
             f"(min={int(samples_host.min())}, max={base}); render missing "
             "regions separately or reset the film"
         )
+    n_full = spp // chunk
     done = 0
+    if n_full > 1:  # all full chunks in one launch (scan over offsets)
+        acc = render_chunks(scene, cam, opts, key, jnp.int32(base), chunk, n_full)
+        film = Film(acc=film.acc + acc, samples=film.samples + n_full * chunk)
+        done = n_full * chunk
     while done < spp:
         cur = min(chunk, spp - done)
         acc = render_chunk(scene, cam, opts, key, jnp.int32(base + done), cur)

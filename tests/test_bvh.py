@@ -115,3 +115,31 @@ def test_render_with_bvh_matches_brute():
     img_brt = np.asarray(tt.render(scene_brt, cam, opts, seed=2).mean())
     rel = np.abs(img_bvh - img_brt) / np.maximum(np.abs(img_brt), 1e-2)
     assert (rel > 1e-3).mean() < 5e-3
+
+
+@pytest.mark.parametrize("tris", [5, 33, 700, 3000])
+def test_wide_collapse_topology(tris):
+    """BVH4 overlay validity: every leaf referenced exactly once, every
+    wide node (but the root) referenced exactly once, and wide_src boxes
+    CONTAIN the referenced subtree's binary box (the gather source)."""
+    scene = tt.scenes.random_triangles(tris, seed=tris, accelerator=tt.Accelerator.BVH)
+    bvh = scene.bvh
+    nw = bvh.num_wide
+    wc = np.asarray(bvh.wide_child)
+    ws = np.asarray(bvh.wide_src)
+    ni = bvh.num_internal
+    if ni == 0:
+        assert nw == 0
+        return
+    assert nw >= 1
+    leaf_refs = np.sort(wc[wc >= nw] - nw)
+    np.testing.assert_array_equal(leaf_refs, np.arange(bvh.num_leaves))
+    internal_refs = np.sort(wc[(wc >= 0) & (wc < nw)])
+    np.testing.assert_array_equal(internal_refs, np.arange(1, nw))
+    # src ids are valid binary node ids of the matching kind
+    valid = wc >= 0
+    src = ws[valid]
+    child = wc[valid]
+    assert ((child >= nw) == (src >= ni)).all()
+    np.testing.assert_array_equal(src[child >= nw] - ni, child[child >= nw] - nw)
+    assert (ws[~valid] == -1).all()

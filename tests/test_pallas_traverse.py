@@ -107,3 +107,29 @@ def test_pallas_packet_shapes_match_brute(shape):
     np.testing.assert_allclose(
         np.asarray(hit_p.t)[both], np.asarray(hit_r.t)[both], rtol=1e-4
     )
+
+
+def test_pallas_wide_bf16_matches_brute():
+    """bf16-quantized wide boxes (conservatively dilated) produce the same
+    closest hit as full-precision — quantization may only ADD node visits,
+    never lose intersections."""
+    scene = tt.scenes.random_triangles(1200, seed=7, accelerator=tt.Accelerator.BVH)
+    bvh = scene.bvh
+    rng = np.random.default_rng(8)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_ = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    ta, tb, tc = scene.geometry.corners()
+    packed = pallas_traverse.pack_tables_wide(bvh, ta, tb, tc, box_enc="bf16")
+    bt, bi = pallas_traverse._traverse_pallas(
+        bvh, *packed, o, d, interpret=True, packet_rows=8, ways=1,
+        arity=4, box_enc="bf16",
+    )
+    hit_r = intersect.raycast_brute(o, d, ta, tb, tc)
+    hw = np.asarray(bt) < intersect.T_FAR
+    np.testing.assert_array_equal(hw, np.asarray(hit_r.hit))
+    both = hw & np.asarray(hit_r.hit)
+    np.testing.assert_allclose(
+        np.asarray(bt)[both], np.asarray(hit_r.t)[both], rtol=1e-4
+    )
