@@ -155,7 +155,7 @@ def bench_cornell(tt, key):
     opts = tt.RenderOptions(
         width=256, height=256, samples_per_pixel=64, bounces=4,
         integrator=tt.Integrator.SIMPLE, subpixel_jitter=0.5,
-        samples_per_launch=32, samples_per_lane=8,
+        samples_per_launch=64, samples_per_lane=64,
     )
     _log("config 1: cornell diffuse 256^2 ...")
     mrays, dt = _timed_render(scene, cam, opts, key, shadow_rays_per_bounce=0)
@@ -170,7 +170,11 @@ def bench_ggx_mis(tt, key):
     opts = tt.RenderOptions(
         width=512, height=512, samples_per_pixel=256, bounces=4,
         integrator=tt.Integrator.DIRECT_MIS, subpixel_jitter=0.5,
-        samples_per_launch=16, samples_per_lane=8,
+        # One launch, 262k persistent lanes with a 256-sample quota: the
+        # straggler tail of the lane while-loop amortizes over the whole
+        # render (measured 74.5 -> 46.4 ms/spp from quota 8/launch 16;
+        # iterations 757 vs the 640 ideal = 85% useful work).
+        samples_per_launch=256, samples_per_lane=256,
     )
     _log("config 2: cornell GGX+MIS 512^2 256 spp ...")
     # DIRECT_MIS issues 2 strategy raycasts per shaded bounce (light + bsdf)
@@ -245,7 +249,7 @@ def bench_courtyard(tt, key):
 
     _verify_compiled_kernel(scene, o, d)
 
-    def run(o, d, mode):
+    def run(packed, o, d, mode):
         keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0],
                                        scene.bvh.node_max[0], mode=mode)
         order = jnp.argsort(keys)
@@ -256,11 +260,11 @@ def bench_courtyard(tt, key):
 
     def timed(o, d, mode):
         run_j = jax.jit(functools.partial(run, mode=mode))
-        jax.block_until_ready(run_j(o, d))
+        jax.block_until_ready(run_j(packed, o, d))
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = run_j(o, d)
+            out = run_j(packed, o, d)
         jax.block_until_ready(out)
         return n / ((time.perf_counter() - t0) / reps) / 1e6
 
@@ -343,7 +347,10 @@ def bench_mega(tt, key):
         raise AssertionError("1M-tri wide kernel t mismatch")
     _log("  quantized-kernel gate ok (2048 rays vs XLA walk)")
 
-    def run(o, d, mode_s):
+    # packed tables ride as jit ARGUMENTS: closing over them would inline
+    # the ~40MB tri table as a program constant and blow the remote-compile
+    # relay's request-body limit (HTTP 413 at 1M tris)
+    def run(packed, o, d, mode_s):
         keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0],
                                        mode=mode_s)
         order = jnp.argsort(keys)
@@ -353,11 +360,11 @@ def bench_mega(tt, key):
                                    box_enc=mode or "f32")
 
     run_j = jax.jit(functools.partial(run, mode_s="dir3"))
-    jax.block_until_ready(run_j(o, d))
+    jax.block_until_ready(run_j(packed, o, d))
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = run_j(o, d)
+        out = run_j(packed, o, d)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     mrays = n / dt / 1e6

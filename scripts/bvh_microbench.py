@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--builder", default="", choices=["", "sah", "lbvh"],
                     help="rebuild the BVH with this builder")
     ap.add_argument("--algo", default="mt", choices=["mt", "watertight"])
-    ap.add_argument("--sort-mode", default="octant", choices=["octant", "dir2", "dir3"])
+    ap.add_argument("--sort-mode", default="octant",
+                    choices=["octant", "dir2", "dir3", "treelet"])
     ap.add_argument("--row-groups", type=int, default=0,
                     help="leaf-test row bands (0 = kernel default)")
     ap.add_argument("--push-mode", default="entry", choices=["entry", "axis"])
@@ -93,7 +94,7 @@ def main():
     def run(o, d, rows, count_steps):
         m = o.shape[0]
         keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0],
-                                       mode=args.sort_mode)
+                                       mode=args.sort_mode, bvh=bvh)
         order = jnp.argsort(keys)
         o = o[order]; d = d[order]
         pad = -m % (rows * 128)

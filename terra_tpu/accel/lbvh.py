@@ -207,13 +207,14 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
     from . import pallas_traverse as _pt
 
     def _node_bytes(leaves):
-        # what the Pallas kernel will actually hold in SMEM: the smaller of
-        # the quantized BVH4 overlay (64 B/wide node; ~0.52 wide nodes per
-        # leaf measured on courtyard-class SAH trees) and the binary tables
-        # — whichever fits is what raycast will traverse, so min() is safe
-        wide = int(leaves * 0.55) * 64
-        binary = (2 * leaves - 1) * 24 + max(leaves - 1, 1) * 8
-        return min(wide, binary)
+        # Size for the FULL-PRECISION BVH4 overlay (112 B/wide node incl.
+        # links; ~0.55 wide nodes per leaf on courtyard-class SAH trees):
+        # measured best on incoherent rays at 242k tris (f32-wide leaf 24 =
+        # 1.58 Mrays/s vs binary 1.52, bf16-wide 1.30 — the bf16 decode
+        # costs more than its smaller table buys at this scale). Scenes too
+        # big for any f32-wide leaf fall through to bf16/binary in
+        # pallas_traverse.wide_mode.
+        return int(leaves * 0.55) * 112
 
     use_sah = builder == "sah" and native.available()
     auto = leaf_size is None
@@ -228,17 +229,28 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
             leaf_size += 8
 
     nat = native.sah_build(pos, vidx, leaf_size) if use_sah else native.lbvh_build(pos, vidx, leaf_size)
+
+    def _actual_wide_bytes(nat):
+        # the recheck uses the ACTUAL collapsed wide-node count, not the
+        # 0.55/leaf estimate (which overshoots ~5% and needlessly grows
+        # leaves right at the SMEM boundary — 242k courtyard: estimate
+        # says leaf 32, the real table fits at leaf 24)
+        wc, ws, nw = _collapse4(nat["left"], nat["right"],
+                                nat["box_min"], nat["box_max"])
+        return (wc, ws, nw), nw * 112
+
+    collapsed, wide_bytes = _actual_wide_bytes(nat) if nat is not None else (None, 0)
     while (auto and use_sah and nat is not None and leaf_size < 1024
-           and _node_bytes(nat["num_leaves"]) > _pt.SMEM_NODE_BUDGET):
+           and wide_bytes > _pt.SMEM_NODE_BUDGET):
         # data-dependent SAH leaf count overflowed the kernel's SMEM node
         # budget: grow leaves and rebuild (native build is ~100ms at 300k
         # tris, so the retry is cheap)
         leaf_size += 8
         nat = native.sah_build(pos, vidx, leaf_size)
+        collapsed, wide_bytes = _actual_wide_bytes(nat)
     if nat is not None:
         c = nat["num_leaves"]
-        wc, ws, nw = _collapse4(nat["left"], nat["right"],
-                                nat["box_min"], nat["box_max"])
+        wc, ws, nw = collapsed
         return LBVH(
             node_min=jnp.asarray(nat["box_min"]),
             node_max=jnp.asarray(nat["box_max"]),

@@ -83,7 +83,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             nq: int, row_groups: int = 2, push_mode: str = "entry",
             ways: int = 1, rows_pp: int = 8, arity: int = 2,
             box_enc: str = "f32",
-            has_tmax: bool = False,
+            has_tmax: bool = False, any_hit: bool = False,
             count_steps: bool = False):
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
@@ -114,16 +114,23 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     _FULL = slice(None)
 
-    def _load_box(b):
+    def _load_box(b, sl: slice = _FULL):
         """Box fields [minx,miny,minz,maxx,maxy,maxz] at flat offset ``b``
         of the node table: plain f32 scalar loads, or bf16-pair decode
         (min in the high half-word rounded down, max in the low half
-        rounded up — conservative dilation, see pack_tables_wide)."""
+        rounded up — conservative dilation, see pack_tables_wide).
+        Mosaic rejects SCALAR tpu.bitcast (i32->f32), so the bf16 decode
+        broadcasts each packed word to the ray-plane shape FIRST and
+        bitcasts the vector (caught by the compiled-kernel bench gate;
+        interpret mode accepts the scalar form)."""
         if box_enc == "bf16":
-            ws = [nodes_ref[b + a] for a in range(3)]
-            mn = [jax.lax.bitcast_convert_type(w & jnp.int32(~0xFFFF), jnp.float32)
-                  for w in ws]
-            mx = [jax.lax.bitcast_convert_type(w << 16, jnp.float32) for w in ws]
+            shape = ox[sl].shape
+            mn, mx = [], []
+            for a in range(3):
+                wv = jnp.full(shape, nodes_ref[b + a], jnp.int32)
+                mn.append(jax.lax.bitcast_convert_type(
+                    wv & jnp.int32(~0xFFFF), jnp.float32))
+                mx.append(jax.lax.bitcast_convert_type(wv << 16, jnp.float32))
             return mn + mx
         return [nodes_ref[b + f] for f in range(6)]
 
@@ -131,7 +138,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         """Per-lane AABB slab test vs the box at flat offset ``b`` of the
         node table (row band ``sl``), pruned by per-ray best t. Box fields
         are scalar SMEM loads broadcast into the vector test."""
-        box = _load_box(b)
+        box = _load_box(b, sl)
         t1x = (box[0] - ox[sl]) * idx_[sl]
         t2x = (box[3] - ox[sl]) * idx_[sl]
         t1y = (box[1] - oy[sl]) * idy[sl]
@@ -146,7 +153,14 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
-        hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[sl])
+        # >= not >: perfectly FLAT boxes (axis-aligned walls collapse an
+        # axis to zero extent) give tmin == tmax for every ray through
+        # them — the strict test made whole walls invisible to the BVH
+        # paths (caught by a random-ray gate on the courtyard: 41/2048
+        # misses, all on wall tris in flat leaves). The +inf empty-slot
+        # boxes of the wide kernel stay dead: their tmin = inf fails
+        # tmin < best_t.
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[sl])
         return hit, tmin
 
     def _child_hitmask(node, sl: slice = _FULL):
@@ -203,7 +217,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             better = tmin < best_t_ref[sl]
             best_i_ref[sl] = jnp.where(better, idm.astype(jnp.int32),
                                        best_i_ref[sl])
-            best_t_ref[sl] = jnp.where(better, tmin, best_t_ref[sl])
+            if any_hit:
+                # Occlusion-only query: ANY accepted hit terminates the
+                # lane — best-t collapses to 0 so every later box test
+                # (tmin < best_t with tmin >= 0) fails and the lane stops
+                # dilating the packet union. The returned t is then only
+                # meaningful as "t < t_max" (the occlusion boolean).
+                best_t_ref[sl] = jnp.where(better, jnp.float32(0.0),
+                                           best_t_ref[sl])
+            else:
+                best_t_ref[sl] = jnp.where(better, tmin, best_t_ref[sl])
 
     def leaf_test_dense(slot: int, leaf_id):
         """Row-group-masked dense leaf test: rays are coherence-sorted, so
@@ -230,7 +253,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
-        hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[...])
         for g in range(n_groups):
             sl = slice(g * gr, (g + 1) * gr)
 
@@ -621,11 +644,17 @@ def pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc: str = "f32"):
     boxes = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)  # (2L-1, 6)
     src = bvh.wide_src  # (W, 4)
     g = boxes[jnp.maximum(src, 0)]  # (W, 4, 6)
-    # Empty slot = a DEGENERATE point box at +3e38: every slab pair gives
-    # t1 == t2, so the strict entry test (tmax > max(tmin, 0)) can never
-    # pass — for ANY direction sign. (An "inverted" min>max box is NOT
-    # safe: a negative direction component swaps the slabs back.)
-    empty = jnp.full((6,), 3e38, jnp.float32)
+    # Empty slot = a DEGENERATE point box at +inf: both slab values per
+    # axis are the same signed inf, so the strict entry test
+    # (tmax > max(tmin, 0)) can never pass — for ANY direction sign.
+    # (An "inverted" min>max box is NOT safe: a negative direction
+    # component swaps the slabs back. A FINITE point box, e.g. 3e38, is
+    # NOT safe under bf16 packing: min-rounds-down/max-rounds-up dilates
+    # it into a real box whose tmin ~ 3e38 < T_FAR — it "hits" and pushes
+    # its clamped link 0, corrupting traversal. inf is exact in bf16:
+    # 0x7F800000 survives both roundings. Caught by the compiled-kernel
+    # bench gate on the 242k courtyard: 41/2048 wrong hits.)
+    empty = jnp.full((6,), np.inf, jnp.float32)
     g = jnp.where((src < 0)[..., None], empty, g)
     links4 = jnp.maximum(bvh.wide_child, 0).reshape(-1)
     if box_enc == "bf16":
@@ -637,16 +666,27 @@ def pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc: str = "f32"):
     return nodes4, links4, _pack_tris(bvh, tri_a, tri_b, tri_c)
 
 
+def _binary_bytes(bvh) -> int:
+    nn = 2 * bvh.num_leaves - 1 if bvh.num_leaves else 1
+    return nn * 6 * 4 + max(bvh.num_internal, 1) * 2 * 4
+
+
 def wide_mode(bvh):
-    """Box encoding for the BVH4 overlay: "f32" when the full-precision
-    table fits SMEM, "bf16" (half the bytes, conservatively dilated boxes)
-    when only the quantized one does, None when the overlay is absent or
-    even the quantized table overflows."""
+    """Box encoding the kernel will traverse, by measured preference
+    (242k-tri courtyard, incoherent Mrays/s): full-precision BVH4 overlay
+    1.58 > binary 1.52 > bf16-quantized overlay 1.30 — so "f32" when that
+    table fits SMEM, None (binary tables) when only they do, "bf16" (half
+    the f32-wide bytes, conservatively dilated boxes) as the last resort
+    that keeps multi-million-tri scenes on the Pallas kernel, and None
+    when even that overflows (raycast then falls back to the XLA walk via
+    fits_smem)."""
     nw = getattr(bvh, "num_wide", 0)
     if nw <= 0:
         return None
     if nw * (24 * 4 + 4 * 4) <= SMEM_NODE_BUDGET:
         return "f32"
+    if _binary_bytes(bvh) <= SMEM_NODE_BUDGET:
+        return None
     if nw * (12 * 4 + 4 * 4) <= SMEM_NODE_BUDGET:
         return "bf16"
     return None
@@ -670,7 +710,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      queue: int = QUEUE, row_groups: int = ROW_GROUPS,
                      push_mode: str = "entry", ways: int = 1,
                      arity: int = 2, box_enc: str = "f32",
-                     t_max=None, count_steps: bool = False):
+                     t_max=None, any_hit: bool = False,
+                     count_steps: bool = False):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
     ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
@@ -700,7 +741,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         leaf_size=bvh.leaf_size, algo=algo, nq=queue, row_groups=row_groups,
         push_mode=push_mode, ways=ways, rows_pp=rows_pp, arity=arity,
         box_enc=box_enc,
-        has_tmax=t_max is not None, count_steps=count_steps,
+        has_tmax=t_max is not None, any_hit=any_hit,
+        count_steps=count_steps,
     )
     n_out = 3 if count_steps else 2
     out = pl.pallas_call(
@@ -737,14 +779,16 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
 # while 1 MB does not compile; leave headroom for the traversal stack and
 # compiler-internal scalars. Bigger budget => smaller leaves stay on the
 # fast kernel for larger scenes.
-SMEM_NODE_BUDGET = 700 << 10  # bytes
+# Largest node-table bytes this toolchain's Mosaic accepts in SMEM:
+# 791 KB (the 242k-courtyard f32-wide table) measured compiling + running;
+# 1 MB does not compile (CLAUDE.md). 792 KB keeps a tested point inside.
+SMEM_NODE_BUDGET = 792 << 10  # bytes
 
 
 def fits_smem(bvh) -> bool:
     if use_wide(bvh):
         return True
-    nn = 2 * bvh.num_leaves - 1 if bvh.num_leaves else 1
-    return nn * 6 * 4 + max(bvh.num_internal, 1) * 2 * 4 <= SMEM_NODE_BUDGET
+    return _binary_bytes(bvh) <= SMEM_NODE_BUDGET
 
 
 def supported(bvh) -> bool:
@@ -759,7 +803,7 @@ def supported(bvh) -> bool:
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             packed=None, algo: str = "mt", sort_mode: str = "octant",
-            t_max=None, packet_shape=None) -> RayHit:
+            t_max=None, any_hit: bool = False, packet_shape=None) -> RayHit:
     """Closest-hit via the Pallas ordered-stack packet traversal.
 
     ``packed``: optional (boxes, links, tris) from :func:`pack_tables` to
@@ -792,7 +836,7 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     if sort_rays and n > PACKET:
         root = 0 if bvh.num_internal > 0 else bvh.num_internal
         keys = xla_traverse._sort_keys(o, d, bvh.node_min[root], bvh.node_max[root],
-                                       mode=sort_mode)
+                                       mode=sort_mode, bvh=bvh)
         order = jnp.argsort(keys)
         o = o[order]
         d = d[order]
@@ -802,9 +846,9 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     # Interleaved packets per grid step: one packet's reduction/scalar
     # latency (the dominant pop cost) hides under the others' vector work.
     # ``packet_shape`` = (rows per packet, interleaved ways); None picks the
-    # measured default for the coherence class: (8, 4) for sorted coherent
-    # batches, narrow (1, INCOH_WAYS) packets for incoherent/bounce batches
-    # (octant sort) where packet-union dilation dominates.
+    # measured default per coherence class — (8, 4) for BOTH classes:
+    # narrow packets measured WORSE on incoherent rays (union saturation;
+    # see CLAUDE.md round-3 numbers), so INCOH_* stay at the wide shape.
     if packet_shape is None:
         packet_shape = (PACKET_ROWS, INTERLEAVE) if sort_mode == "dir3" \
             else (INCOH_ROWS, INCOH_WAYS)
@@ -824,7 +868,7 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
                                       packet_rows=rows_pp * ways, ways=ways,
                                       arity=4 if mode else 2,
                                       box_enc=mode or "f32",
-                                      algo=algo, t_max=tm)
+                                      algo=algo, t_max=tm, any_hit=any_hit)
     best_t = best_t[:n]
     best_i = best_i[:n]
     if order is not None:

@@ -57,16 +57,24 @@ def _morton3_bits(x, bits):
     ) & jnp.uint32((1 << (3 * bits)) - 1)
 
 
-def _sort_keys(o, d, scene_min, scene_max, mode: str = "octant"):
+def _sort_keys(o, d, scene_min, scene_max, mode: str = "octant", bvh=None):
     """Coherence keys for packetizing. Sorting rays by this key before
     packetizing collapses packet dilation for incoherent (bounce) rays.
 
-      octant — direction octant (3 high bits) + 7-bit/axis origin Morton
-      dir2   — 2-bit/axis quantized direction (6 high bits) + origin Morton
-      dir3   — 3-bit/axis direction (9 high bits) + origin Morton
+      octant  — direction octant (3 high bits) + 7-bit/axis origin Morton
+      dir2    — 2-bit/axis quantized direction (6 high bits) + origin Morton
+      dir3    — 3-bit/axis direction (9 high bits) + origin Morton
+      treelet — first-descent subtree path (8 high bits, needs ``bvh``):
+                rays grouped by the subtree their ordered traversal enters
+                FIRST, so a packet's early node set is hierarchy-aligned
+                instead of merely spatially close; + origin Morton
     """
     inv_ext = 1.0 / jnp.maximum(scene_max - scene_min, 1e-12)
     on = (o - scene_min) * inv_ext  # [0,1] inside the scene
+    if mode == "treelet":
+        path = _treelet_path(bvh, o, d, depth=8)
+        morton = _morton3_bits(on * 127.0, 7)  # 21 bits
+        return (path << jnp.uint32(24)) | morton
     dir_bits = {"octant": 1, "dir2": 2, "dir3": 3}[mode]
     dn = (d + 1.0) * 0.5
     dkey = _morton3_bits(dn * float(1 << dir_bits), dir_bits)
@@ -74,8 +82,45 @@ def _sort_keys(o, d, scene_min, scene_max, mode: str = "octant"):
     return (dkey << jnp.uint32(21)) | morton
 
 
+def _treelet_path(bvh, o, d, depth: int = 8):
+    """Per-ray first-descent path bits: from the root, repeatedly step to
+    the child with the smaller slab entry-t (the child an ordered
+    traversal would pop first), recording left/right per level. Rays
+    sharing the resulting ``depth``-bit prefix start their traversal in
+    the same treelet. Cost: ``depth`` packet-free (N,3) gathers + slab
+    tests — one cheap XLA prepass, no effect on traversal correctness."""
+    ni = bvh.num_internal
+    n = o.shape[0]
+    inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.float32(1e12))
+
+    def entry(nid):
+        bmin = bvh.node_min[nid]
+        bmax = bvh.node_max[nid]
+        t1 = (bmin - o) * inv
+        t2 = (bmax - o) * inv
+        tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = tmax >= jnp.maximum(tmin, 0.0)
+        return jnp.where(hit, jnp.maximum(tmin, 0.0), jnp.float32(np.inf))
+
+    node = jnp.zeros((n,), jnp.int32)
+    path = jnp.zeros((n,), jnp.uint32)
+    for _ in range(depth):
+        is_int = node < ni
+        safe = jnp.where(is_int, node, 0)
+        l = bvh.node_left[safe]
+        r = bvh.node_right[safe]
+        el = entry(l)
+        er = entry(r)
+        pick_r = er < el
+        ok = is_int & (jnp.minimum(el, er) < np.inf)
+        node = jnp.where(ok, jnp.where(pick_r, r, l), node)
+        path = (path << jnp.uint32(1)) | (ok & pick_r).astype(jnp.uint32)
+    return path
+
+
 def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096,
-                    algo: str = "mt", t_init=None):
+                    algo: str = "mt", t_init=None, any_hit: bool = False):
     """o, d: (P2, P, 3). Returns (best_t, best_tri) of shape (P2, P).
     ``t_init``: optional (P2, P) best-t seed (occlusion queries)."""
     p2, p, _ = o.shape
@@ -100,7 +145,9 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096,
         t2 = (bmax[:, None, :] - o) * inv_d
         tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
         tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin < best_t)
+        # >= not >: flat boxes (zero-extent axis) give tmin == tmax for
+        # every ray through them (see pallas_traverse._hitmask_at).
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t)
         return jnp.any(hit, axis=1)
 
     def advance_step(cur, best_t):
@@ -130,7 +177,13 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096,
         arg_l = jnp.argmin(t, axis=2)
         tri_l = bvh.leaf_tri[leaf_id[:, None], arg_l]
         take = t_best_l < best_t
-        best_t = jnp.where(take, t_best_l, best_t)
+        if any_hit:
+            # occlusion-only query: any accepted hit collapses best-t to 0,
+            # pruning the lane from all later box tests (see the Pallas
+            # kernel's identical rule); t is then only "t < t_max".
+            best_t = jnp.where(take, jnp.float32(0.0), best_t)
+        else:
+            best_t = jnp.where(take, t_best_l, best_t)
         best_i = jnp.where(take, tri_l, best_i)
         # move past the processed leaf
         cur = jnp.where(at_leaf, bvh.dfs_skip[jnp.maximum(cur, 0)], cur)
@@ -155,7 +208,7 @@ def _packet_raycast(bvh, tri_a, tri_b, tri_c, o, d, max_outer: int = 4096,
 
 
 def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True,
-            algo: str = "mt", t_max=None) -> RayHit:
+            algo: str = "mt", t_max=None, any_hit: bool = False) -> RayHit:
     """Closest-hit via stackless LBVH packet traversal. o, d: (N, 3).
 
     ``sort_rays`` reorders lanes by (direction octant, origin Morton) before
@@ -195,6 +248,7 @@ def raycast(scene, o, d, packet_size: int = PACKET_SIZE, sort_rays: bool = True,
         d.reshape(p2, packet_size, 3),
         algo=algo,
         t_init=None if tm is None else tm.reshape(p2, packet_size),
+        any_hit=any_hit,
     )
     best_t = best_t.reshape(-1)[:n]
     best_i = best_i.reshape(-1)[:n]

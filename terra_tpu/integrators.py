@@ -97,7 +97,9 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     # and requires hit.primitive == picked, Terra.c:1403; equivalent up to
     # coplanar-overlap corner cases, and this needs no hit-surface rebuild.)
     t_light = math3.length(ls.pos - o_sh) * SHADOW_TMAX_SCALE
-    occ = raycast(o_sh, d_sh, t_max=t_light)
+    # any_hit: occlusion needs only the boolean, and an any-hit walk lets
+    # occluded lanes stop dilating the packet union (kernel early-out).
+    occ = raycast(o_sh, d_sh, t_max=t_light, any_hit=True)
     visible = ~occ.hit
 
     cos_l = math3.dot(ls.normal, -wi)  # cos at the light (Terra.c:1411)
@@ -146,7 +148,7 @@ def _nee_env_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
 
     nol = math3.dot(wi, surf.normal)
     o_sh, d_sh = _shadow_ray(surf, wi, ctx)
-    hit = raycast(o_sh, d_sh)
+    hit = raycast(o_sh, d_sh, any_hit=True)  # escape test: boolean only
     visible = (~hit.hit) & (nol > 0.0) & (env_pdf > 0.0)
 
     f = bsdf.eval_f(surf, wi, wo, ctx["present"])

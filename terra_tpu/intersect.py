@@ -83,7 +83,11 @@ def ray_aabb(o, inv_d, box_min, box_max):
     t2 = (box_max - o) * inv_d
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
     tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    return tmax > jnp.maximum(tmin, 0.0), tmin, tmax
+    # >= not > (deviation from the reference's strict test): perfectly
+    # flat boxes (an axis collapsed to zero extent, e.g. axis-aligned
+    # walls) give tmin == tmax for EVERY ray through them; the strict
+    # form rejects them all.
+    return tmax >= jnp.maximum(tmin, 0.0), tmin, tmax
 
 
 def moller_trumbore(o, d, a, b, c, eps: float = 1e-4):

@@ -71,22 +71,24 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
                 scene.bvh, *scene.geometry.corners()
             )
 
-            def raycast(o, d, t_max=None):
+            def raycast(o, d, t_max=None, any_hit=False):
                 o = o + d * intersect.RAY_OFFSET_DIR
                 return pallas_traverse.raycast(scene, o, d, packed=packed,
-                                               algo=algo, t_max=t_max)
+                                               algo=algo, t_max=t_max,
+                                               any_hit=any_hit)
 
             return raycast
 
-        def raycast(o, d, t_max=None):
+        def raycast(o, d, t_max=None, any_hit=False):
             o = o + d * intersect.RAY_OFFSET_DIR
-            return bvh_traverse.raycast(scene, o, d, algo=algo, t_max=t_max)
+            return bvh_traverse.raycast(scene, o, d, algo=algo, t_max=t_max,
+                                        any_hit=any_hit)
 
         return raycast
 
     tri_a, tri_b, tri_c = scene.geometry.corners()
 
-    def raycast(o, d, t_max=None):
+    def raycast(o, d, t_max=None, any_hit=False):
         o = o + d * intersect.RAY_OFFSET_DIR
         h = intersect.raycast_brute(o, d, tri_a, tri_b, tri_c, algo=algo)
         if t_max is None:
@@ -261,7 +263,8 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
 
 
 def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
-                     pixel_idx, px, py, sample_base, quota: int):
+                     pixel_idx, px, py, sample_base, quota: int,
+                     return_iters: bool = False):
     """Persistent-lane wavefront: each lane traces ``quota`` samples of its
     pixel back-to-back, regenerating a fresh camera ray the moment a path
     terminates. The fixed-depth scan in :func:`trace` keeps every lane
@@ -388,6 +391,8 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         )
 
     final = jax.lax.while_loop(cond, body, init)
+    if return_iters:  # scheduler diagnostics (scripts/cfg2_probe.py)
+        return final["lo_total"], final["iters"]
     return final["lo_total"]
 
 

@@ -143,3 +143,53 @@ def test_wide_collapse_topology(tris):
     assert ((child >= nw) == (src >= ni)).all()
     np.testing.assert_array_equal(src[child >= nw] - ni, child[child >= nw] - nw)
     assert (ws[~valid] == -1).all()
+
+
+def test_flat_box_walls_are_hit():
+    """Axis-aligned coplanar geometry collapses its BVH boxes to zero
+    extent on one axis; every ray through such a box has tmin == tmax, so
+    the slab test must accept equality (regression: whole courtyard walls
+    were invisible to the BVH paths — 41/2048 random rays on the 242k
+    scene)."""
+    import terra_tpu.scenes as scenes
+    from terra_tpu.accel import pallas_traverse, traverse as xw
+
+    # a grid of coplanar triangles in the x=0 plane (one flat wall)
+    tris = []
+    for i in range(8):
+        for j in range(8):
+            y0, z0 = i * 0.25, j * 0.25
+            a = [0.0, y0, z0]
+            b = [0.0, y0 + 0.25, z0]
+            c = [0.0, y0, z0 + 0.25]
+            d = [0.0, y0 + 0.25, z0 + 0.25]
+            tris.append([a, b, c])
+            tris.append([d, c, b])
+    n = len(tris)
+    geom = scenes.make_geometry(tris, np.zeros(n, np.int32), np.zeros(n, np.int32))
+    from terra_tpu.scene import MaterialTable, commit
+    import jax.numpy as jnp2
+    materials = MaterialTable(
+        bsdf_type=jnp2.zeros((1,), jnp2.int32),
+        attrs=jnp2.full((1, 8, 3), 0.5, jnp2.float32),
+        attr_tex=jnp2.full((1, 8), -1, jnp2.int32),
+        emissive=jnp2.zeros((1, 3), jnp2.float32),
+        emissive_tex=jnp2.full((1,), -1, jnp2.int32),
+        ior=jnp2.full((1,), 1.5, jnp2.float32),
+    )
+    scene = commit(geom, materials, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(3)
+    m = 512
+    o = np.stack([np.full(m, -1.0), rng.uniform(0.2, 1.8, m), rng.uniform(0.2, 1.8, m)],
+                 axis=1).astype(np.float32)
+    d = np.stack([np.ones(m), rng.uniform(-0.05, 0.05, m), rng.uniform(-0.05, 0.05, m)],
+                 axis=1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o); d = jnp.asarray(d)
+    ta, tb_, tc = scene.geometry.corners()
+    hit_b = intersect.raycast_brute(o, d, ta, tb_, tc)
+    hit_p = pallas_traverse.raycast(scene, o, d, interpret=True)
+    hit_x = xw.raycast(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(hit_p.hit), np.asarray(hit_b.hit))
+    np.testing.assert_array_equal(np.asarray(hit_x.hit), np.asarray(hit_b.hit))
+    assert np.asarray(hit_b.hit).mean() > 0.9  # nearly all rays cross the wall

@@ -133,3 +133,35 @@ def test_pallas_wide_bf16_matches_brute():
     np.testing.assert_allclose(
         np.asarray(bt)[both], np.asarray(hit_r.t)[both], rtol=1e-4
     )
+
+
+def test_pallas_any_hit_occlusion_matches_ranged():
+    """any_hit=True occlusion booleans equal the ranged closest-hit booleans
+    (the early-out may only change WHICH hit terminates a lane, never
+    whether one exists within t_max)."""
+    scene = tt.scenes.random_triangles(900, seed=5, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(6)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_ = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    tm = jnp.asarray(rng.uniform(0.3, 3.0, (n,)).astype(np.float32))
+    occ_a = pallas_traverse.raycast(scene, o, d, interpret=True, t_max=tm,
+                                    any_hit=True)
+    occ_c = pallas_traverse.raycast(scene, o, d, interpret=True, t_max=tm)
+    np.testing.assert_array_equal(np.asarray(occ_a.hit), np.asarray(occ_c.hit))
+
+
+def test_xla_any_hit_occlusion_matches_ranged():
+    from terra_tpu.accel import traverse as xw
+
+    scene = tt.scenes.random_triangles(900, seed=5, accelerator=tt.Accelerator.BVH)
+    rng = np.random.default_rng(7)
+    n = 2048
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d_ = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d_ / np.linalg.norm(d_, axis=-1, keepdims=True))
+    tm = jnp.asarray(rng.uniform(0.3, 3.0, (n,)).astype(np.float32))
+    occ_a = xw.raycast(scene, o, d, t_max=tm, any_hit=True)
+    occ_c = xw.raycast(scene, o, d, t_max=tm)
+    np.testing.assert_array_equal(np.asarray(occ_a.hit), np.asarray(occ_c.hit))
