@@ -29,6 +29,13 @@ def main():
     p.add_argument("--bounces", type=int, default=4)
     p.add_argument("--integrator", default="direct-mis")
     p.add_argument("--sample-ways", type=int, default=1)
+    p.add_argument("--row-band", type=int, default=0,
+                   help="rows per launch (0 = whole frame); bounds the live "
+                        "wavefront for 4k-class frames (TPU pads each (N,3) "
+                        "lane array's last dim 3->128, so whole-frame 4k "
+                        "wavefronts would need ~42x their logical HBM)")
+    p.add_argument("--samples-per-lane", type=int, default=1,
+                   help="persistent-lane quota (see RenderOptions)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default="")
     p.add_argument("--checkpoint-every", type=int, default=4, help="chunks")
@@ -66,7 +73,7 @@ def main():
     opts = tt.RenderOptions(
         width=args.width, height=args.height, samples_per_pixel=args.spp,
         bounces=args.bounces, integrator=_INTEGRATOR[args.integrator],
-        subpixel_jitter=0.5,
+        subpixel_jitter=0.5, samples_per_lane=args.samples_per_lane,
     )
     k0, k1 = rng_mod.key_from_seed(args.seed)
     key = jnp.array([k0, k1], jnp.uint32)
@@ -81,13 +88,26 @@ def main():
     if film is None:
         film = Film.create(opts.width, opts.height)
 
+    from terra_tpu.parallel.mesh import render_band_sharded
+
+    band = args.row_band or args.height
     chunk_i = 0
     while done < args.spp:
         cur = min(args.chunk, args.spp - done)
         t0 = time.perf_counter()
-        acc = render_chunk_sharded(scene, cam, opts, key, jnp.int32(done), cur, mesh)
-        acc.block_until_ready()
-        film = Film(acc=film.acc + acc, samples=film.samples + cur)
+        if band < args.height:
+            acc_film = film.acc
+            for b0 in range(0, args.height, band):
+                acc = render_band_sharded(scene, cam, opts, key, jnp.int32(done),
+                                          jnp.int32(b0), cur, band, mesh)
+                acc_film = jax.lax.dynamic_update_slice(
+                    acc_film, acc_film[b0:b0 + band] + acc, (b0, 0, 0))
+            acc_film.block_until_ready()
+            film = Film(acc=acc_film, samples=film.samples + cur)
+        else:
+            acc = render_chunk_sharded(scene, cam, opts, key, jnp.int32(done), cur, mesh)
+            acc.block_until_ready()
+            film = Film(acc=film.acc + acc, samples=film.samples + cur)
         done += cur
         chunk_i += 1
         dt = time.perf_counter() - t0

@@ -30,7 +30,8 @@ from ..ops import rng as rng_mod
 from ..render import render_rows
 from ..scene import Camera, RenderOptions, Scene
 
-__all__ = ["make_mesh", "render_sharded", "render_chunk_sharded"]
+__all__ = ["make_mesh", "render_sharded", "render_chunk_sharded",
+           "render_band_sharded"]
 
 
 def make_mesh(shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
@@ -81,6 +82,40 @@ def render_chunk_sharded(scene: Scene, cam: Camera, opts: RenderOptions, key, sa
         check_vma=False,
     )(scene, cam, key, sample_offset)
     return acc
+
+
+@partial(jax.jit, static_argnames=("opts", "spp_chunk", "band_rows", "mesh"))
+def render_band_sharded(scene: Scene, cam: Camera, opts: RenderOptions, key,
+                        sample_offset, band0, spp_chunk: int, band_rows: int,
+                        mesh: Mesh):
+    """Rows [band0, band0+band_rows) of the frame for ``spp_chunk``
+    samples, sharded like :func:`render_chunk_sharded`. Bounds the live
+    wavefront for very large frames: TPU tiles pad the lane dim of every
+    (N, 3) wavefront array 3 -> 128, so a whole-frame 4k x 4k launch would
+    allocate ~42x its logical bytes (measured: a 16.7M-lane launch asked
+    for a 34 GB single allocation). ``band0`` is traced — one compile
+    serves every band."""
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape["samples"]
+    assert band_rows % n_rows == 0 and spp_chunk % n_samp == 0
+    rows_per = band_rows // n_rows
+    spp_shard = spp_chunk // n_samp
+
+    def body(scene, cam, key, sample_offset, band0):
+        ri = jax.lax.axis_index("rows")
+        si = jax.lax.axis_index("samples")
+        row0 = band0 + ri * rows_per
+        local_off = sample_offset + si * spp_shard
+        acc = render_rows(scene, cam, opts, key, local_off, spp_shard, row0, rows_per)
+        return jax.lax.psum(acc, "samples")
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P("rows", None, None),
+        check_vma=False,
+    )(scene, cam, key, sample_offset, band0)
 
 
 def render_sharded(

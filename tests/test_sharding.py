@@ -60,3 +60,20 @@ def test_graft_dryrun_multichip(n):
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(n)
+
+
+def test_band_sharded_matches_whole_frame(setup):
+    """Row-band rendering (pod 4k path: bounds the live wavefront) covers
+    the frame band by band with GLOBAL pixel ids, so the assembled image
+    equals the whole-frame render bit-for-bit per band."""
+    from terra_tpu.parallel.mesh import render_band_sharded
+
+    scene, cam, opts, key, ref = setup
+    mesh = make_mesh((8, 1))
+    acc = np.zeros_like(ref)
+    band = 8  # two bands of 8 rows over 8 row-shards -> 1 row per device
+    for b0 in range(0, opts.height, band):
+        a = np.asarray(render_band_sharded(scene, cam, opts, key, jnp.int32(0),
+                                           jnp.int32(b0), 8, band, mesh))
+        acc[b0:b0 + band] += a
+    np.testing.assert_allclose(acc, ref, rtol=1e-4, atol=1e-4)
