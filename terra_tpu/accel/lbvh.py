@@ -48,7 +48,8 @@ DEFAULT_LEAF_SIZE = 16
         "wide_child",
         "wide_src",
     ],
-    meta_fields=["leaf_size", "num_leaves", "num_wide"],
+    meta_fields=["leaf_size", "num_leaves", "num_wide", "depth",
+                 "wide_depth"],
 )
 @dataclass
 class LBVH:
@@ -90,6 +91,14 @@ class LBVH:
     leaf_size: int
     num_leaves: int
     num_wide: int
+    # Max root->leaf node count of the binary tree (static, host-computed
+    # at build): the Pallas kernel's SMEM stack worst case is depth+2
+    # pushes for the ordered binary DFS and 3*depth+4 for the BVH4 overlay
+    # — _traverse_pallas asserts both against STACK_DEPTH at trace time,
+    # so an overflow is impossible at run time (the sanitizer analogue
+    # for the kernel's only unbounded structure).
+    depth: int = 0
+    wide_depth: int = 0  # max root->slot level count of the BVH4 overlay
 
     @property
     def num_internal(self) -> int:
@@ -235,9 +244,9 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
         # 0.55/leaf estimate (which overshoots ~5% and needlessly grows
         # leaves right at the SMEM boundary — 242k courtyard: estimate
         # says leaf 32, the real table fits at leaf 24)
-        wc, ws, nw = _collapse4(nat["left"], nat["right"],
-                                nat["box_min"], nat["box_max"])
-        return (wc, ws, nw), nw * 112
+        wc, ws, nw, wd = _collapse4(nat["left"], nat["right"],
+                                    nat["box_min"], nat["box_max"])
+        return (wc, ws, nw, wd), nw * 112
 
     collapsed, wide_bytes = _actual_wide_bytes(nat) if nat is not None else (None, 0)
     while (auto and use_sah and nat is not None and leaf_size < 1024
@@ -250,7 +259,7 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
         collapsed, wide_bytes = _actual_wide_bytes(nat)
     if nat is not None:
         c = nat["num_leaves"]
-        wc, ws, nw = collapsed
+        wc, ws, nw, wd = collapsed
         return LBVH(
             node_min=jnp.asarray(nat["box_min"]),
             node_max=jnp.asarray(nat["box_max"]),
@@ -266,6 +275,8 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
             leaf_size=leaf_size,
             num_leaves=c,
             num_wide=nw,
+            depth=_tree_depth(nat["left"], nat["right"]),
+            wide_depth=wd,
         )
     a, b, c3 = pos[vidx[:, 0]], pos[vidx[:, 1]], pos[vidx[:, 2]]
     t = len(vidx)
@@ -295,7 +306,7 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
     # [internal; leaf] id space
     node_min, node_max = _refit_host(pos, vidx, leaf_tri, left, right)
     dfs_next, dfs_skip = _thread_tree(left, right, num_leaves)
-    wc, ws, nw = _collapse4(left, right, node_min, node_max)
+    wc, ws, nw, wd = _collapse4(left, right, node_min, node_max)
 
     return LBVH(
         node_min=jnp.asarray(node_min),
@@ -312,7 +323,26 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
         leaf_size=leaf_size,
         num_leaves=num_leaves,
         num_wide=nw,
+        depth=_tree_depth(left, right),
+        wide_depth=wd,
     )
+
+
+def _tree_depth(left, right) -> int:
+    """Max root->leaf node count of the binary tree (host, at build)."""
+    ni = len(left)
+    if ni == 0:
+        return 1
+    mx = 1
+    stack = [(0, 1)]
+    while stack:
+        n, dep = stack.pop()
+        if dep > mx:
+            mx = dep
+        for c in (int(left[n]), int(right[n])):
+            if c < ni:
+                stack.append((c, dep + 1))
+    return mx + 1  # + the leaf level
 
 
 def _collapse4(left, right, node_min, node_max):
@@ -322,16 +352,20 @@ def _collapse4(left, right, node_min, node_max):
     repeatedly expands the largest-surface-area internal slot until four
     slots are filled (the standard SAH-guided collapse; the reference has
     no analogue — its 2-wide node is TerraBVH.h:12-22). Returns
-    (wide_child, wide_src, n_wide); see the LBVH docstring for encoding.
+    (wide_child, wide_src, n_wide, wide_depth); see the LBVH docstring
+    for the encoding.
     """
     ni = len(left)
     if ni == 0:
-        return (np.zeros((0, 4), np.int32), np.full((0, 4), -1, np.int32), 0)
+        return (np.zeros((0, 4), np.int32), np.full((0, 4), -1, np.int32),
+                0, 1)
     ext = np.maximum(node_max - node_min, 0.0)
     area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 0] * ext[:, 2]
 
     children: list = [None]  # children[w] = slot list of BINARY ids
     wide_of = {0: 0}
+    wdepth = {0: 1}
+    max_depth = 1
     work = [0]
     while work:
         b = work.pop()
@@ -347,6 +381,9 @@ def _collapse4(left, right, node_min, node_max):
         for s in slots:
             if s < ni:
                 wide_of[s] = len(children)
+                wdepth[s] = wdepth[b] + 1
+                if wdepth[s] > max_depth:
+                    max_depth = wdepth[s]
                 children.append(None)
                 work.append(s)
 
@@ -357,7 +394,7 @@ def _collapse4(left, right, node_min, node_max):
         for j, s in enumerate(slots):
             wide_src[w, j] = s
             wide_child[w, j] = wide_of[s] if s < ni else n_wide + (s - ni)
-    return wide_child, wide_src, n_wide
+    return wide_child, wide_src, n_wide, max_depth + 1  # + the leaf level
 
 
 def _thread_tree(left, right, num_leaves):

@@ -719,6 +719,20 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     n = o.shape[0]
     num_packets = n // (packet_rows * 128)
     rows = num_packets * packet_rows
+    # Static SMEM-stack guard (the kernel's only unbounded structure):
+    # ordered DFS grows the stack by <= arity-1 per level, so the worst
+    # case is depth+2 (binary) / 3*wide_depth+2 (BVH4 overlay — wide depth
+    # is roughly half the binary depth). A tree too deep for STACK_DEPTH
+    # fails HERE, at trace time, not as silent SMEM corruption at run time
+    # (courtyard 242k: binary depth 18, wide depth 10 -> need 32 of 96).
+    if arity == 4:
+        need = 3 * getattr(bvh, "wide_depth", 0) + 2
+    else:
+        need = getattr(bvh, "depth", 0) + 2
+    assert need <= 2 or need <= STACK_DEPTH, (
+        f"BVH needs a {need}-deep traversal stack "
+        f"(STACK_DEPTH={STACK_DEPTH}); rebuild with a larger leaf_size"
+    )
     assert packet_rows % max(ways, 1) == 0
     # Mosaic rejects ray blocks under 8 sublanes (CLAUDE.md): narrow packets
     # must interleave enough ways to fill the (8k, 128) block.

@@ -96,6 +96,7 @@ OPTIONS: Dict[str, OptionSpec] = {
         # order (see scene.py RenderOptions.samples_per_lane).
         OptionSpec("render_samples_per_lane", "samples traced back-to-back per lane", int, 8),
         OptionSpec("render_light_pick", "uniform|area NEE light pick", lambda s: _LIGHT_PICK[s.lower()], LightPick.UNIFORM),
+        OptionSpec("render_debug_checks", "host-validate each chunk (NaN guard)", _parse_bool, False),
         OptionSpec("camera_position", "Camera position x,y,z", _parse_float3, (0.0, 0.9, 2.4)),
         OptionSpec("camera_direction", "Camera direction x,y,z", _parse_float3, (0.0, 0.0, -1.0)),
         OptionSpec("camera_up", "Camera up vector", _parse_float3, (0.0, 1.0, 0.0)),
@@ -159,6 +160,7 @@ class Config:
             samples_per_lane=v["render_samples_per_lane"],
             env_on_miss=v["render_env_on_miss"], env_nee=v["render_env_nee"],
             light_pick=v["render_light_pick"],
+            debug_checks=v["render_debug_checks"],
         )
         return opts.replace(**overrides) if overrides else opts
 

@@ -444,6 +444,38 @@ def render_chunk(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_off
     return render_rows(scene, cam, opts, key, sample_offset, spp_chunk, 0, opts.height)
 
 
+# Largest wavefront a single launch may carry. TPU tiling pads the lane
+# dim of every (N, 3) wavefront array 3 -> 128 (42x the logical bytes), so
+# a whole-frame 4k x 4k chunk would ask for tens of GB per intermediate
+# (measured: one 34 GB allocation at 16.7M lanes). render() splits bigger
+# frames into row bands; one traced-band0 compile serves every band.
+MAX_WAVEFRONT_LANES = 1 << 21
+
+
+@partial(jax.jit, static_argnames=("opts", "spp_chunk", "rows"))
+def render_band(scene: Scene, cam: Camera, opts: RenderOptions, key,
+                sample_offset, row0, spp_chunk: int, rows: int):
+    """``rows`` pixel rows starting at traced ``row0`` in one launch."""
+    return render_rows(scene, cam, opts, key, sample_offset, spp_chunk, row0, rows)
+
+
+def _band_rows(opts: RenderOptions, spp_chunk: int) -> int:
+    """Row-band height keeping the wavefront under MAX_WAVEFRONT_LANES
+    (whole frame when it already fits). Picks the largest divisor of the
+    frame height so every band compiles once."""
+    quota = max(int(opts.samples_per_lane), 1)
+    while spp_chunk % quota:
+        quota -= 1
+    lanes_per_row = opts.width * spp_chunk // quota
+    target = max(int(MAX_WAVEFRONT_LANES // max(lanes_per_row, 1)), 1)
+    if target >= opts.height:
+        return opts.height
+    for b in range(target, 0, -1):
+        if opts.height % b == 0:
+            return b
+    return 1
+
+
 @partial(jax.jit, static_argnames=("opts", "spp_chunk", "n_chunks"))
 def render_chunks(scene: Scene, cam: Camera, opts: RenderOptions, key,
                   sample_offset, spp_chunk: int, n_chunks: int):
@@ -465,6 +497,19 @@ def render_chunks(scene: Scene, cam: Camera, opts: RenderOptions, key,
     init = jnp.zeros((opts.height, opts.width, 3), jnp.float32)
     acc, _ = jax.lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
     return acc
+
+
+def _validate_acc(acc, where: str):
+    """debug_checks: host-assert a chunk's radiance accumulator is finite,
+    naming the offending rows (the render-level sanitizer analogue)."""
+    a = np.asarray(jax.device_get(acc))
+    bad = ~np.isfinite(a)
+    if bad.any():
+        rows = np.unique(np.nonzero(bad.reshape(a.shape[0], -1).any(axis=1))[0])
+        raise FloatingPointError(
+            f"non-finite radiance in {where}: {int(bad.sum())} values, "
+            f"pixel rows {rows[:8].tolist()}{'...' if len(rows) > 8 else ''}"
+        )
 
 
 def render(
@@ -498,15 +543,35 @@ def render(
             f"(min={int(samples_host.min())}, max={base}); render missing "
             "regions separately or reset the film"
         )
+    band = _band_rows(opts, chunk)
+    if band < opts.height:
+        # 4k-class frame: row-banded launches in bounded HBM (see
+        # MAX_WAVEFRONT_LANES); launch dispatch is negligible at this size
+        done = 0
+        while done < spp:
+            cur = min(chunk, spp - done)
+            acc = film.acc
+            for b0 in range(0, opts.height, band):
+                a = render_band(scene, cam, opts, key, jnp.int32(base + done),
+                                jnp.int32(b0), cur, band)
+                acc = jax.lax.dynamic_update_slice(
+                    acc, acc[b0:b0 + band] + a, (b0, 0, 0))
+            film = Film(acc=acc, samples=film.samples + cur)
+            done += cur
+        return film
     n_full = spp // chunk
     done = 0
-    if n_full > 1:  # all full chunks in one launch (scan over offsets)
+    if n_full > 1 and not opts.debug_checks:
+        # all full chunks in one launch (scan over offsets); debug_checks
+        # keeps per-chunk launches so a failure names the chunk
         acc = render_chunks(scene, cam, opts, key, jnp.int32(base), chunk, n_full)
         film = Film(acc=film.acc + acc, samples=film.samples + n_full * chunk)
         done = n_full * chunk
     while done < spp:
         cur = min(chunk, spp - done)
         acc = render_chunk(scene, cam, opts, key, jnp.int32(base + done), cur)
+        if opts.debug_checks:
+            _validate_acc(acc, f"chunk at sample offset {base + done}")
         film = Film(acc=film.acc + acc, samples=film.samples + cur)
         done += cur
     return film

@@ -406,6 +406,12 @@ class RenderOptions:
     # NEE light pick strategy: uniform (reference behavior) or area-CDF
     # importance sampling over the flattened light table.
     light_pick: LightPick = LightPick.UNIFORM
+    # Debug-assert mode (the sanitizer analogue; the kernel's SMEM-stack
+    # bound is asserted statically regardless — pallas_traverse): when on,
+    # render() host-validates each chunk's accumulator and raises on
+    # non-finite radiance, naming the offending pixel rows. Costs one
+    # device->host sync per chunk; off by default.
+    debug_checks: bool = False
 
     def replace(self, **kw) -> "RenderOptions":
         return dataclasses.replace(self, **kw)

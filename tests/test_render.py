@@ -100,3 +100,45 @@ def test_env_on_miss():
                             integrator=tt.Integrator.SIMPLE, env_on_miss=True)
     img = np.asarray(tt.render(scene, cam, opts).mean())
     np.testing.assert_allclose(img[0, 0], [1.0, 2.0, 3.0], atol=1e-5)
+
+
+def test_render_row_banded_matches_whole_frame(monkeypatch):
+    """When the frame exceeds MAX_WAVEFRONT_LANES, render() splits into row
+    bands; global pixel ids keep the estimator identical, so the banded
+    film equals the whole-frame film."""
+    import importlib
+
+    render_mod = importlib.import_module("terra_tpu.render")
+    scene = tt.scenes.cornell_box()
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(width=16, height=16, samples_per_pixel=4,
+                            bounces=2, integrator=tt.Integrator.DIRECT,
+                            subpixel_jitter=0.5)
+    ref = np.asarray(tt.render(scene, cam, opts, seed=11).acc)
+    monkeypatch.setattr(render_mod, "MAX_WAVEFRONT_LANES", 16 * 4 * 4)
+    assert render_mod._band_rows(opts, 4) == 4
+    banded = np.asarray(tt.render(scene, cam, opts, seed=11).acc)
+    np.testing.assert_allclose(banded, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_debug_checks_catches_nonfinite():
+    """debug_checks host-validates each chunk: a scene poisoned with a NaN
+    vertex raises FloatingPointError naming the chunk instead of silently
+    writing NaN into the film."""
+    import dataclasses
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    scene = tt.scenes.cornell_box()
+    pos = np.asarray(scene.geometry.positions).copy()
+    pos[0] = np.nan
+    geom = dataclasses.replace(scene.geometry, positions=jnp.asarray(pos))
+    bad_scene = dataclasses.replace(scene, geometry=geom)
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(width=8, height=8, samples_per_pixel=2, bounces=1,
+                            integrator=tt.Integrator.DIRECT, debug_checks=True)
+    with _pytest.raises(FloatingPointError, match="non-finite"):
+        tt.render(bad_scene, cam, opts, seed=0)
+    # and a healthy scene passes with checks on
+    film = tt.render(scene, cam, opts, seed=0)
+    assert np.isfinite(np.asarray(film.acc)).all()
