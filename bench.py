@@ -46,6 +46,7 @@ BASE_CORNELL = 100.0   # driver target, Mrays/s/chip
 BASE_GGX_MIS = 28.0    # round-1 measured, Mrays/s
 BASE_COURTYARD = 25.0  # round-2 measured (242k tris, primary sorted), Mrays/s
 BASE_COURTYARD_INCOH = 1.3   # round-2 measured (242k tris, random rays), Mrays/s
+BASE_COURTYARD_BOUNCE = 5.71  # round-3 first measurement (cosine bounce), Mrays/s
 BASE_COURTYARD_RENDER = 3.36  # round-2 measured (384^2 8spp DIRECT), Mrays/s
 BASE_INVERSE_MS = 100.0  # target ms/step
 COURTYARD_TRIS = 241764  # pinned scene size; a drift means the scene changed
@@ -286,6 +287,35 @@ def bench_courtyard(tt, key):
     mrays_i = timed(o_i, d_i, "octant")
     _emit("courtyard_incoherent_mrays", mrays_i, "Mrays/s",
           mrays_i / BASE_COURTYARD_INCOH, tris=ntri)
+
+    # 3s: REALISTIC secondary rays — cosine-hemisphere directions from the
+    # camera rays' first-hit surfaces (what the production render's bounce
+    # batches actually look like). Uniform-random 3i is the adversarial
+    # floor; this is the rate that bounds config 3b (measured 3.6x faster
+    # than 3i: real bounce origins cluster on visible surfaces).
+    _log("config 3s: courtyard first-bounce (cosine) rays ...")
+    from terra_tpu import intersect as intersect_mod
+    from terra_tpu.surface import build_shade_tables, surface_init
+    from terra_tpu.ops import math3
+    hit0 = pt.raycast(scene, o, d, packed=packed)
+    tables = build_shade_tables(scene)
+    surf = jax.jit(lambda: surface_init(
+        scene, tables, o + d * intersect_mod.RAY_OFFSET_DIR, d, hit0.tri))()
+    rb = np.random.default_rng(12)
+    e1 = jnp.asarray(rb.random(n, np.float32))
+    e2 = jnp.asarray(rb.random(n, np.float32))
+    st = jnp.sqrt(jnp.maximum(1.0 - e1, 0.0))
+    phi = np.float32(2.0 * np.pi) * e2
+    nrm = surf.normal
+    t_ax = math3.normalize(jnp.cross(nrm, jnp.asarray([0.12, 0.98, 0.17])))
+    b_ax = jnp.cross(nrm, t_ax)
+    d_s = math3.normalize(
+        (st * jnp.cos(phi))[:, None] * t_ax + (st * jnp.sin(phi))[:, None] * b_ax
+        + jnp.sqrt(e1)[:, None] * nrm)
+    o_s = surf.point + nrm * np.float32(1e-4)
+    mrays_s = timed(o_s, d_s, "octant")
+    _emit("courtyard_bounce_mrays", mrays_s, "Mrays/s",
+          mrays_s / BASE_COURTYARD_BOUNCE, tris=ntri)
 
     # 3b: the PRODUCTION path end-to-end — full render loop (camera, BVH
     # traversal, textured surfaces, GGX, NEE shadow rays, persistent lanes)
