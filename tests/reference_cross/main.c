@@ -10,7 +10,9 @@
  * Scene file format (text):
  *   cam_pos(3) cam_dir(3) cam_up(3) fov_deg
  *   n_objects
- *   per object: n_tris albedo(3) emissive(3)
+ *   per object: n_tris bsdf_type albedo(3) emissive(3) spec(3) intensity
+ *               (bsdf_type 0 = diffuse, ignores spec/intensity;
+ *                bsdf_type 1 = phong, TerraPresets.h TERRA_PHONG_*)
  *               then per tri: a(3) b(3) c(3) na(3) nb(3) nc(3)
  *
  * Output: one "r g b" line per pixel, row-major — the raw accumulation
@@ -72,12 +74,17 @@ int main ( int argc, char** argv ) {
     HTerraScene scene = terra_scene_create();
 
     for ( int o = 0; o < n_objects; ++o ) {
-        int ntris = 0;
-        if ( fscanf ( f, "%d", &ntris ) != 1 ) {
+        int ntris = 0, bsdf_type = 0;
+        if ( fscanf ( f, "%d %d", &ntris, &bsdf_type ) != 2 ) {
             return 2;
         }
         TerraFloat3 albedo = read_f3 ( f );
         TerraFloat3 emissive = read_f3 ( f );
+        TerraFloat3 spec = read_f3 ( f );
+        float intensity = 0.f;
+        if ( fscanf ( f, "%f", &intensity ) != 1 ) {
+            return 2;
+        }
         TerraObject* obj = terra_scene_add_object ( scene, ( size_t ) ntris );
 
         for ( int t = 0; t < ntris; ++t ) {
@@ -92,10 +99,24 @@ int main ( int argc, char** argv ) {
             obj->properties[t].texcoord_c = terra_f2_set ( 0.f, 0.f );
         }
 
-        terra_bsdf_diffuse_init ( &obj->material.bsdf );
-        terra_attribute_init_constant (
-            &obj->material.attributes[TERRA_DIFFUSE_ALBEDO], &albedo );
-        obj->material.attributes_count = TERRA_DIFFUSE_END;
+        if ( bsdf_type == 1 ) {
+            TerraFloat3 inten = terra_f3_set ( intensity, 0.f, 0.f );
+            terra_bsdf_phong_init ( &obj->material.bsdf );
+            terra_attribute_init_constant (
+                &obj->material.attributes[TERRA_PHONG_ALBEDO], &albedo );
+            terra_attribute_init_constant (
+                &obj->material.attributes[TERRA_PHONG_SPECULAR_COLOR], &spec );
+            terra_attribute_init_constant (
+                &obj->material.attributes[TERRA_PHONG_SPECULAR_INTENSITY], &inten );
+            terra_attribute_init_constant (
+                &obj->material.attributes[TERRA_PHONG_SAMPLE_PICK], &inten );
+            obj->material.attributes_count = TERRA_PHONG_END;
+        } else {
+            terra_bsdf_diffuse_init ( &obj->material.bsdf );
+            terra_attribute_init_constant (
+                &obj->material.attributes[TERRA_DIFFUSE_ALBEDO], &albedo );
+            obj->material.attributes_count = TERRA_DIFFUSE_END;
+        }
         terra_attribute_init_constant ( &obj->material.emissive, &emissive );
         obj->material.ior = 1.5f;
         obj->material.enable_bump_map_attr = false;

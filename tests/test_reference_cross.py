@@ -70,6 +70,8 @@ def _dump_scene(scene, cam, path):
     attrs = np.asarray(scene.materials.attrs)
     emissive = np.asarray(scene.materials.emissive)
 
+    bsdf_types = np.asarray(scene.materials.bsdf_type)
+
     def f3(v):
         return f"{v[0]:.9g} {v[1]:.9g} {v[2]:.9g}"
 
@@ -83,8 +85,16 @@ def _dump_scene(scene, cam, path):
             mids = np.unique(mat_id[tris])
             assert len(mids) == 1, "harness assumes one material per object"
             mid = int(mids[0])
-            albedo = attrs[mid, ATTR.DIFFUSE_ALBEDO]
-            f.write(f"{len(tris)} {f3(albedo)} {f3(emissive[mid])}\n")
+            btype = int(bsdf_types[mid])
+            assert btype in (0, 1), "harness supports diffuse/phong only"
+            albedo = attrs[mid, ATTR.PHONG_ALBEDO if btype == 1
+                           else ATTR.DIFFUSE_ALBEDO]
+            spec = (attrs[mid, ATTR.PHONG_SPECULAR_COLOR] if btype == 1
+                    else np.zeros(3))
+            inten = (float(attrs[mid, ATTR.PHONG_SPECULAR_INTENSITY][0])
+                     if btype == 1 else 0.0)
+            f.write(f"{len(tris)} {btype} {f3(albedo)} {f3(emissive[mid])} "
+                    f"{f3(spec)} {inten:.9g}\n")
             for t in tris:
                 a, b, c = pos[vidx[t, 0]], pos[vidx[t, 1]], pos[vidx[t, 2]]
                 na, nb, nc = normals[t, 0], normals[t, 1], normals[t, 2]
@@ -97,10 +107,10 @@ def _block_means(img):
     ).mean(axis=(1, 3))
 
 
-def _render_ours(scene, cam, seed):
+def _render_ours(scene, cam, seed, integrator=tt.Integrator.DIRECT, spp=SPP):
     opts = tt.RenderOptions(
-        width=W, height=H, samples_per_pixel=SPP, bounces=BOUNCES,
-        integrator=tt.Integrator.DIRECT, subpixel_jitter=0.5,
+        width=W, height=H, samples_per_pixel=spp, bounces=BOUNCES,
+        integrator=integrator, subpixel_jitter=0.5,
         rr_start_bounce=0,  # the reference roulettes every bounce (Terra.c:1081)
         intersector=tt.Intersector.WATERTIGHT,  # reference compile-time default
         samples_per_launch=128,
@@ -109,8 +119,27 @@ def _render_ours(scene, cam, seed):
     return np.asarray(film.acc) / np.asarray(film.samples)[..., None]
 
 
-def test_reference_cross_validation(ref_binary, tmp_path):
-    scene = tt.scenes.cornell_box()  # with blocks: occlusion + color bleed
+# (scene kwargs, our integrator, the reference's kTerraIntegrator* index,
+# spp). DIRECT checks NEE + visibility + the diffuse pdf chain; DIRECT_MIS
+# additionally checks the power-2 weights, the solid-angle pdf conversion,
+# and the same-object BSDF-strategy acceptance (Terra.c:1428-1587); the
+# phong case checks the kd/ks energy split, the cosine-power lobe and its
+# pdf (TerraPresets.c:66-146) — each against the real compiled
+# implementation, the only check that can catch a formula misread shared
+# by the port and its NumPy mirror.
+_CASES = [
+    ({}, tt.Integrator.DIRECT, 1, SPP),
+    ({}, tt.Integrator.DIRECT_MIS, 2, 256),
+    ({"wall_bsdf": None}, tt.Integrator.DIRECT, 1, 256),  # phong, see below
+]
+
+
+@pytest.mark.parametrize("scene_kw,integrator,ref_integrator,spp", _CASES)
+def test_reference_cross_validation(ref_binary, tmp_path, scene_kw, integrator,
+                                    ref_integrator, spp):
+    if scene_kw.get("wall_bsdf", 0) is None:
+        scene_kw = {"wall_bsdf": tt.BSDFType.PHONG}
+    scene = tt.scenes.cornell_box(**scene_kw)  # blocks: occlusion + bleed
     cam = tt.scenes.cornell_camera()
 
     scene_txt = str(tmp_path / "scene.txt")
@@ -118,14 +147,14 @@ def test_reference_cross_validation(ref_binary, tmp_path):
 
     out_txt = str(tmp_path / "ref.txt")
     subprocess.run(
-        [ref_binary, scene_txt, out_txt, str(W), str(H), str(SPP),
-         str(BOUNCES), "1", "1234", "0.5"],  # integrator 1 = kTerraIntegratorDirect
+        [ref_binary, scene_txt, out_txt, str(W), str(H), str(spp),
+         str(BOUNCES), str(ref_integrator), "1234", "0.5"],
         check=True, capture_output=True, timeout=1200,
     )
     ref = np.loadtxt(out_txt, dtype=np.float64).reshape(H, W, 3)
 
-    ours_a = _render_ours(scene, cam, seed=101)
-    ours_b = _render_ours(scene, cam, seed=707)
+    ours_a = _render_ours(scene, cam, seed=101, integrator=integrator, spp=spp)
+    ours_b = _render_ours(scene, cam, seed=707, integrator=integrator, spp=spp)
 
     rb = _block_means(ref)
     oa = _block_means(ours_a)
