@@ -91,7 +91,10 @@ def main():
     else:
         packed = pt.pack_tables(bvh, tri_a, tri_b, tri_c)
 
-    def run(o, d, rows, count_steps):
+    # packed tables ride as jit arguments — closed-over device arrays
+    # inline as program constants and blow the remote-compile body limit
+    # at 1M tris (HTTP 413)
+    def run(packed, o, d, rows, count_steps):
         m = o.shape[0]
         keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0],
                                        mode=args.sort_mode, bvh=bvh)
@@ -108,7 +111,8 @@ def main():
                                    push_mode=args.push_mode, ways=args.ways,
                                    arity=args.arity, box_enc=args.box_enc)
 
-    run_j = jax.jit(run, static_argnums=(2, 3))
+    run_base = jax.jit(run, static_argnums=(3, 4))
+    run_j = lambda o, d, rows, cs: run_base(packed, o, d, rows, cs)
 
     for rows in args.packet_rows:
         for name, (o, d) in (("primary", (o_p, d_p)), ("incoherent", (o_i, d_i))):
