@@ -74,7 +74,7 @@ def main():
     base = results[sizes[0]]
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "per_device_mrays": {str(k): round(v, 1) for k, v in results.items()},
+        "total_mrays_by_mesh_size": {str(k): round(v, 1) for k, v in results.items()},
         "efficiency_at_max": round(results[sizes[-1]] / (base * sizes[-1]), 3),
         "devices": sizes[-1],
     }))

@@ -3,7 +3,9 @@
 (a) jnp.argsort of 24-bit keys at N=1.18M (what every raycast pays today)
 (b) radix-partition permutation on the top 12 bits (packet-granularity
     grouping; within-bucket order irrelevant for packet coherence)
-(c) the full pt.raycast on realistic bounce rays, for scale
+
+For scale: a full pt.raycast on realistic bounce rays at this N costs
+~200 ms (scripts/cfg3b_probe.py) vs the ~0.05 ms sort measured here.
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

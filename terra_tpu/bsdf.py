@@ -34,9 +34,18 @@ from .ops import math3
 from .scene import ATTR, BSDFType
 from .surface import Surface
 
-__all__ = ["sample", "pdf", "eval_f", "continuation_factors", "NUM_BSDF_TYPES"]
+__all__ = ["sample", "pdf", "eval_f", "continuation_factors", "delta_mask",
+           "DELTA_TYPES", "NUM_BSDF_TYPES"]
 
 NUM_BSDF_TYPES = 6
+
+# Delta (perfectly specular) lobes: their "pdf" is not a density, so the
+# DIRECT/DIRECT_MIS strategies treat them specially — NEE and the MIS BSDF
+# strategy are skipped at delta lanes, and the path continuation picks up
+# the next hit's emissive with weight 1 instead (pbrt-style specular-bounce
+# flag; the reference disabled both lobes, TerraPresets.c:298-465, so there
+# is no reference behavior to match).
+DELTA_TYPES = (3, 5)  # BSDFType.MIRROR, BSDFType.GLASS
 PI = np.float32(np.pi)
 INV_PI = np.float32(1.0 / np.pi)
 EPS = np.float32(1e-4)
@@ -519,6 +528,19 @@ def _glass_eval(surface: Surface, wi, wo):
 # ----------------------------------------------------------------- dispatch
 
 ALL_TYPES = tuple(range(NUM_BSDF_TYPES))
+
+
+def delta_mask(surface: Surface, present=ALL_TYPES):
+    """Per-lane bool mask of delta (MIRROR/GLASS) materials, or None when
+    the scene statically has none (``present`` metadata) — the None path
+    keeps delta-free programs compiling unchanged."""
+    types = [t for t in DELTA_TYPES if t in present]
+    if not types:
+        return None
+    m = surface.bsdf_type == types[0]
+    for t in types[1:]:
+        m = m | (surface.bsdf_type == t)
+    return m
 
 
 def _select(bsdf_type, results, present):

@@ -47,6 +47,31 @@ def _power2_weight(pa, pb):
     return (pa * pa) / jnp.maximum(pa * pa + pb * pb, np.float32(1e-20))
 
 
+def _emit_gate(ctx, bounce):
+    """Emissive-pickup gate for DIRECT/DIRECT_MIS. The reference adds hit
+    emissive only at bounce 0 (Terra.c:1357-1360, 1440-1443) because NEE +
+    the MIS BSDF strategy cover direct light at every later vertex — but
+    neither strategy can see a light through a delta (MIRROR/GLASS) lobe.
+    ``ctx['emit_ok']`` is the per-lane specular-bounce flag maintained by
+    the wavefront driver (render.py): True at bounce 0 and whenever the
+    previous bounce was a delta lobe, so mirrors/glass show lights. None
+    (delta-free scene) falls back to the reference's bounce-0 gate."""
+    ok = ctx.get("emit_ok")
+    if ok is None:
+        return bounce == 0
+    return ok
+
+
+def _skip_delta(ctx, mask):
+    """AND ``mask`` with not-delta: NEE and the MIS BSDF strategy do not
+    apply at delta lanes (their radiance flows through the path
+    continuation + the emit_ok gate instead). No-op for delta-free scenes."""
+    delta = ctx.get("delta")
+    if delta is None:
+        return mask
+    return mask & ~delta
+
+
 def _shadow_ray(surf: Surface, wi, ctx=None):
     """Next ray from a surface: origin offset along the shading normal
     (terra_surface_ray, Terra.c:1715-1724). When the wavefront's active
@@ -104,6 +129,7 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
 
     cos_l = math3.dot(ls.normal, -wi)  # cos at the light (Terra.c:1411)
     visible = visible & (cos_l > 0.0)
+    visible = _skip_delta(ctx, visible)
 
     # Solid-angle-converted area pdf (Terra.c:1418): d^2 / |cos * area|.
     light_pdf = math3.sqlen(p_to_light) / jnp.maximum(
@@ -150,6 +176,7 @@ def _nee_env_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     o_sh, d_sh = _shadow_ray(surf, wi, ctx)
     hit = raycast(o_sh, d_sh, any_hit=True)  # escape test: boolean only
     visible = (~hit.hit) & (nol > 0.0) & (env_pdf > 0.0)
+    visible = _skip_delta(ctx, visible)
 
     f = bsdf.eval_f(surf, wi, wo, ctx["present"])
     Le = envmap.radiance(scene, wi)
@@ -175,6 +202,7 @@ def _mis_bsdf_env_term(ctx, surf: Surface, wo, wi, f, bsdf_pdf, hit):
     env_pdf = envmap.pdf(ctx["env_dist"], wi)
     nol = math3.dot(wi, surf.normal)
     ok = (~hit.hit) & (bsdf_pdf > 0.0) & (nol > 0.0)
+    ok = _skip_delta(ctx, ok)
     weight = _power2_weight(bsdf_pdf, env_pdf)
     Le = envmap.radiance(scene, wi)
     denom = jnp.where(ok, bsdf_pdf, 1.0)
@@ -211,6 +239,7 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
 
     now = math3.dot(hit_surf.normal, -wi)  # cos at the light hit (Terra.c:1554)
     ok = ok & (now > 0.0)
+    ok = _skip_delta(ctx, ok)
 
     dist2 = math3.sqlen(hit_surf.point - surf.point)
     hit_area = hit_surf.tri_area
@@ -229,7 +258,7 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
 
 def _integrate_direct(ctx, surf: Surface, wo, throughput, bounce):
     """Next-event estimation (terra_integrate_direct, Terra.c:1349-1426)."""
-    facing = (math3.dot(wo, surf.normal) > 0.0) & (bounce == 0)
+    facing = (math3.dot(wo, surf.normal) > 0.0) & _emit_gate(ctx, bounce)
     Lo = jnp.where(facing[..., None], surf.emissive, 0.0)
     contrib, _, _ = _nee_light_strategy(ctx, surf, wo, bounce, want_weight=False, aux=None)
     if ctx.get("env_dist") is not None:
@@ -240,7 +269,7 @@ def _integrate_direct(ctx, surf: Surface, wo, throughput, bounce):
 def _integrate_direct_mis(ctx, surf: Surface, wo, throughput, bounce):
     """NEE + BSDF sampling with power-2 MIS (terra_integrate_direct_mis,
     Terra.c:1428-1587)."""
-    facing = (math3.dot(wo, surf.normal) > 0.0) & (bounce == 0)
+    facing = (math3.dot(wo, surf.normal) > 0.0) & _emit_gate(ctx, bounce)
     Lo = jnp.where(facing[..., None], surf.emissive, 0.0)
     # The reference samples the BSDF before the light strategy and reuses
     # the lobe pick for the light-strategy pdf; we evaluate the pdf with the

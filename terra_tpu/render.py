@@ -174,6 +174,10 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
     env_dist = _make_env_dist(scene, opts)
 
     n = o.shape[0]
+    # Specular-bounce flag (only carried when the scene has delta lobes):
+    # emissive pickup under DIRECT/DIRECT_MIS is allowed at bounce 0 and
+    # after MIRROR/GLASS bounces (see integrators._emit_gate).
+    has_delta = any(t in present for t in bsdf.DELTA_TYPES)
     init = dict(
         o=o,
         d=d,
@@ -181,10 +185,13 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         Lo=jnp.zeros((n, 3), jnp.float32),
         active=jnp.ones((n,), bool),
     )
+    if has_delta:
+        init["emit_ok"] = jnp.ones((n,), bool)
 
     def bounce_body(carry, bounce):
         o, d = carry["o"], carry["d"]
         throughput, Lo, active = carry["throughput"], carry["Lo"], carry["active"]
+        emit_ok = carry.get("emit_ok")
 
         # One threefry launch covers every stream this bounce will draw.
         u = rng_mod.path_uniform_bundle(key, pixel_idx, sample_idx, bounce, streams)
@@ -205,9 +212,11 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             miss_mask = active & ~hit.hit
             if opts.env_nee:
                 # env-NEE covers direct env light at every shaded vertex;
-                # the miss add stays only for camera rays (bounce 0) to
-                # avoid double counting.
-                miss_mask = miss_mask & (bounce == 0)
+                # the miss add stays only where NEE could not have seen the
+                # env: camera rays and rays leaving a delta lobe.
+                miss_mask = miss_mask & (
+                    emit_ok if emit_ok is not None else bounce == 0
+                )
             Lo = Lo + jnp.where(miss_mask[..., None], throughput * env, 0.0)
         active = active & hit.hit
 
@@ -216,6 +225,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             tables=tables, present=present, env_dist=env_dist,
             light_area=opts.light_pick == LightPick.AREA,
             active=active,
+            emit_ok=emit_ok, delta=bsdf.delta_mask(surf, present),
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
@@ -251,6 +261,8 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             Lo=Lo,
             active=active,
         )
+        if has_delta:  # next bounce may pick up emissive after a delta lobe
+            carry["emit_ok"] = ctx["delta"]
         return carry, None
 
     # NOTE: splitting the final bounce out of the scan (to skip its
@@ -296,6 +308,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         )
 
     o0, d0 = new_ray(sample_base)
+    has_delta = any(t in present for t in bsdf.DELTA_TYPES)
     init = dict(
         o=o0,
         d=d0,
@@ -308,6 +321,8 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         finished=jnp.zeros((n,), bool),
         iters=jnp.int32(0),
     )
+    if has_delta:  # specular-bounce flag (see trace); True at path starts
+        init["emit_ok"] = jnp.ones((n,), bool)
     max_iters = quota * (opts.bounces + 1)
 
     def cond(st):
@@ -330,11 +345,14 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         wo = -d
 
         lo_sample = st["lo_sample"]
+        emit_ok = st.get("emit_ok")
         if opts.env_on_miss:
             env = _env_radiance(scene, d)
             miss_mask = active & ~hit.hit
             if opts.env_nee:
-                miss_mask = miss_mask & (bounce == 0)
+                miss_mask = miss_mask & (
+                    emit_ok if emit_ok is not None else bounce == 0
+                )
             lo_sample = lo_sample + jnp.where(miss_mask[..., None], throughput * env, 0.0)
         alive = active & hit.hit
 
@@ -343,6 +361,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
             tables=tables, present=present, env_dist=env_dist,
             light_area=opts.light_pick == LightPick.AREA,
             active=alive,
+            emit_ok=emit_ok, delta=bsdf.delta_mask(surf, present),
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         lo_sample = lo_sample + jnp.where(alive[..., None], radiance, 0.0)
@@ -374,7 +393,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
             cont_o = surf.point + surf.normal * (
                 off_sign * intersect.SURFACE_OFFSET_NORMAL
             )[..., None]
-        return dict(
+        out = dict(
             o=jnp.where(regen[..., None], ro, jnp.where(survive[..., None], cont_o, o)),
             d=jnp.where(regen[..., None], rd, jnp.where(survive[..., None], wi, d)),
             throughput=jnp.where(
@@ -389,6 +408,9 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
             finished=finished,
             iters=st["iters"] + 1,
         )
+        if has_delta:  # fresh paths start True; continuations carry delta
+            out["emit_ok"] = jnp.where(regen, True, ctx["delta"])
+        return out
 
     final = jax.lax.while_loop(cond, body, init)
     if return_iters:  # scheduler diagnostics (scripts/cfg2_probe.py)

@@ -397,11 +397,12 @@ class RenderOptions:
     # Environment next-event estimation (extension; the reference built the
     # 2D env distribution but never used it, Terra.c:811-846). When on, the
     # DIRECT/DIRECT_MIS integrators importance-sample the environment as a
-    # light, and the miss-env add (env_on_miss) applies at bounce 0 only to
-    # avoid double counting. DIRECT_MIS also adds the env through its
-    # MIS-weighted BSDF strategy (covers specular lobes); with plain DIRECT
-    # the env seen via delta (MIRROR) lobes is not recoverable by NEE —
-    # use DIRECT_MIS for mirror + env scenes.
+    # light, and the miss-env add (env_on_miss) applies only where NEE
+    # could not have seen the env — camera rays and rays leaving a delta
+    # (MIRROR/GLASS) lobe, via the per-lane specular-bounce flag
+    # (integrators._emit_gate) — to avoid double counting. DIRECT_MIS also
+    # adds the env through its MIS-weighted BSDF strategy (covers rough
+    # specular lobes).
     env_nee: bool = False
     # NEE light pick strategy: uniform (reference behavior) or area-CDF
     # importance sampling over the flattened light table.

