@@ -1,7 +1,8 @@
 """Inverse rendering: pixel-loss gradients on scene parameters.
 
 BASELINE.md config 4: recover BSDF albedo/roughness + emission (and
-optionally vertex positions / camera) by gradient descent on a pixel loss.
+optionally vertex positions, texture data, or the camera pose) by gradient
+descent on a pixel loss (see PARAM_FIELDS).
 The reference renderer has no gradients at all — this subsystem is the
 *point* of the TPU re-design: the whole wavefront renderer is jnp, the RNG
 is counter-based (replay-exact), and discrete choices are stop-gradiented,
@@ -41,14 +42,18 @@ from .ops import rng as rng_mod
 from .render import render_rows
 from .scene import Camera, RenderOptions, Scene
 
-__all__ = ["inject_params", "extract_params", "make_loss_fn", "make_train_step", "make_train_step_sharded", "recover"]
+__all__ = ["inject_params", "extract_params", "inject_camera", "make_loss_fn",
+           "make_train_step", "make_train_step_sharded", "recover"]
 
-# Parameter groups that can be optimized (pytree leaf paths into Scene).
-PARAM_FIELDS = ("attrs", "emissive", "positions")
+# Parameter groups that can be optimized. attrs/emissive/positions/textures
+# are pytree leaf paths into Scene; "camera" optimizes the Camera pytree
+# (position/direction/fov) passed alongside the scene.
+PARAM_FIELDS = ("attrs", "emissive", "positions", "textures", "camera")
 
 
-def extract_params(scene: Scene, fields=("attrs", "emissive")) -> Dict[str, jax.Array]:
-    """Pull the requested continuous leaves out of a scene."""
+def extract_params(scene: Scene, fields=("attrs", "emissive"),
+                   cam: Optional[Camera] = None) -> Dict[str, jax.Array]:
+    """Pull the requested continuous leaves out of a scene (and camera)."""
     out: Dict[str, jax.Array] = {}
     for f in fields:
         if f == "attrs":
@@ -57,22 +62,55 @@ def extract_params(scene: Scene, fields=("attrs", "emissive")) -> Dict[str, jax.
             out["emissive"] = scene.materials.emissive
         elif f == "positions":
             out["positions"] = scene.geometry.positions
+        elif f == "textures":
+            if scene.textures is None or scene.textures.num_textures == 0:
+                raise ValueError("scene has no texture atlas to optimize")
+            out["textures"] = scene.textures.data
+        elif f == "camera":
+            if cam is None:
+                raise ValueError("pass cam= to extract camera parameters")
+            out["camera"] = {
+                "position": cam.position,
+                "direction": cam.direction,
+                "fov_deg": cam.fov_deg,
+            }
         else:
             raise KeyError(f)
     return out
 
 
 def inject_params(scene: Scene, params: Dict[str, jax.Array]) -> Scene:
-    """Rebuild the scene with parameter leaves replaced (pure)."""
+    """Rebuild the scene with parameter leaves replaced (pure). The
+    "camera" group is not part of the scene; see :func:`inject_camera`."""
     mats = scene.materials
     geom = scene.geometry
+    tex = scene.textures
     if "attrs" in params:
         mats = dataclasses.replace(mats, attrs=params["attrs"])
     if "emissive" in params:
         mats = dataclasses.replace(mats, emissive=params["emissive"])
     if "positions" in params:
         geom = dataclasses.replace(geom, positions=params["positions"])
-    return dataclasses.replace(scene, materials=mats, geometry=geom)
+    if "textures" in params:
+        tex = dataclasses.replace(tex, data=params["textures"])
+    return dataclasses.replace(scene, materials=mats, geometry=geom, textures=tex)
+
+
+def inject_camera(cam: Camera, params: Dict[str, jax.Array]) -> Camera:
+    """Camera with the "camera" parameter group applied (identity when the
+    group is absent; partial groups — e.g. position-only pose recovery,
+    which avoids feeding Adam leaves of wildly different scales — override
+    only their keys). Differentiable: ray generation normalizes direction,
+    so an unnormalized optimized direction stays valid."""
+    c = params.get("camera")
+    if c is None:
+        return cam
+    return dataclasses.replace(
+        cam,
+        position=c.get("position", cam.position),
+        direction=c.get("direction", cam.direction),
+        fov_deg=c.get("fov_deg", cam.fov_deg),
+    )
 
 
 def render_mean_image(scene: Scene, cam: Camera, opts: RenderOptions, key, sample_offset, spp: int, row0=0, rows: int = 0):
@@ -90,7 +128,8 @@ def make_loss_fn(cam: Camera, opts: RenderOptions, target, spp: Optional[int] = 
 
     def loss_fn(params, scene, key, sample_offset):
         scene_p = inject_params(scene, params)
-        img = render_mean_image(scene_p, cam, opts, key, sample_offset, spp)
+        cam_p = inject_camera(cam, params)
+        img = render_mean_image(scene_p, cam_p, opts, key, sample_offset, spp)
         return jnp.mean((img - target) ** 2)
 
     return loss_fn
@@ -139,8 +178,9 @@ def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer,
         ri = jax.lax.axis_index("rows")
         si = jax.lax.axis_index("samples")
         scene_p = inject_params(scene, params)
+        cam_p = inject_camera(cam, params)
         acc = render_rows(
-            scene_p, cam, opts, key, sample_offset + si * spp_per, spp_per,
+            scene_p, cam_p, opts, key, sample_offset + si * spp_per, spp_per,
             ri * rows_per, rows_per,
         )
         # mean over the *global* sample count: psum of partial sums
@@ -190,13 +230,15 @@ def recover(
     log_every: int = 0,
     clip_to_physical: bool = True,
 ):
-    """Run the inverse-rendering loop; returns (scene_recovered, losses).
+    """Run the inverse-rendering loop; returns (scene_recovered, losses),
+    or (scene_recovered, cam_recovered, losses) when "camera" is among the
+    optimized fields.
 
     ``clip_to_physical`` projects parameters after each step: attribute
     values to [0, attr_cap] where attr_cap keeps exponent-like slots that
-    started above 1 free, and emission to >= 0."""
+    started above 1 free, and emission / texture data to >= 0."""
     optimizer = optax.adam(learning_rate)
-    params = extract_params(scene_init, fields)
+    params = extract_params(scene_init, fields, cam=cam)
     attr_cap = None
     if clip_to_physical and "attrs" in params:
         # slots whose initial value exceeds 1 (phong exponents, etc.) keep a
@@ -219,6 +261,8 @@ def recover(
                 p["attrs"] = jnp.clip(p["attrs"], 0.0, attr_cap)
             if "emissive" in p:
                 p["emissive"] = jnp.maximum(p["emissive"], 0.0)
+            if "textures" in p:
+                p["textures"] = jnp.maximum(p["textures"], 0.0)
             state = TrainState(p, state.opt_state, state.step)
         if refit_bvh:
             # vertex edits move triangle bounds: refit the BVH AABBs
@@ -236,4 +280,7 @@ def recover(
         losses.append(float(loss))
         if log_every and (i % log_every == 0):
             print(f"step {i:4d} loss {losses[-1]:.6f}")
+    if "camera" in fields:
+        return (inject_params(scene_init, state.params),
+                inject_camera(cam, state.params), losses)
     return inject_params(scene_init, state.params), losses
