@@ -88,9 +88,46 @@ def probe_hbm_to_smem_i32_loop():
     return got == expect
 
 
+
+
+def probe_smem_dma_in_while():
+    """(d) the paged-kernel pattern: HBM->SMEM DMA started/waited INSIDE a
+    lax.while_loop body (the leaf-DMA pattern, but with an SMEM dest)."""
+    ROWS, W = 8, 128
+
+    def kernel(x_ref, o_ref, smem, sem):
+        def body(state):
+            i, acc = state
+            cp = pltpu.make_async_copy(x_ref.at[pl.ds(i, 1)], smem, sem)
+            cp.start()
+            cp.wait()
+            return i + 1, acc + smem[0, 0]
+
+        _, acc = jax.lax.while_loop(lambda s: s[0] < 4, body,
+                                    (jnp.int32(0), jnp.float32(0)))
+        o_ref[...] = jnp.full((ROWS, W), acc, jnp.float32)
+
+    x = jnp.arange(8 * W, dtype=jnp.float32).reshape(8, W)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((ROWS, W), lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ROWS, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(x)
+    expect = float(sum(x[i, 0] for i in range(4)))
+    got = float(np.asarray(out)[0, 0])
+    print(f"smem dma in while: got {got} expect {expect}",
+          "OK" if got == expect else "FAIL")
+    return got == expect
+
+
 if __name__ == "__main__":
     ok = True
-    for fn in (probe_hbm_to_smem, probe_hbm_to_smem_i32_loop):
+    for fn in (probe_hbm_to_smem, probe_hbm_to_smem_i32_loop, probe_smem_dma_in_while):
         try:
             ok &= fn()
         except Exception as e:  # noqa: BLE001

@@ -84,15 +84,26 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             ways: int = 1, rows_pp: int = 8, arity: int = 2,
             box_enc: str = "f32",
             has_tmax: bool = False, any_hit: bool = False,
-            count_steps: bool = False):
+            count_steps: bool = False,
+            s_resident: int = 0, npq: int = 0):
+    paged = npq > 0
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
-    nodes_ref, links_ref, tris_ref, best_t_ref, best_i_ref, *rest = refs
+    if paged:
+        (nodes_ref, links_ref, tris_ref, prows_ref,
+         best_t_ref, best_i_ref, *rest) = refs
+    else:
+        prows_ref = None
+        nodes_ref, links_ref, tris_ref, best_t_ref, best_i_ref, *rest = refs
     if count_steps:
-        steps_ref, tri_scratch, dma_sem = rest
+        steps_ref, rest = rest[0], rest[1:]
     else:
         steps_ref = None
+    if paged:
+        tri_scratch, dma_sem, pg_scratch, pg_sem = rest
+    else:
         tri_scratch, dma_sem = rest
+        pg_scratch = pg_sem = None
     ox = ox_ref[...]
     oy = oy_ref[...]
     oz = oz_ref[...]
@@ -134,11 +145,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return mn + mx
         return [nodes_ref[b + f] for f in range(6)]
 
-    def _hitmask_at(b, sl: slice = _FULL):
-        """Per-lane AABB slab test vs the box at flat offset ``b`` of the
-        node table (row band ``sl``), pruned by per-ray best t. Box fields
-        are scalar SMEM loads broadcast into the vector test."""
-        box = _load_box(b, sl)
+    def _hitmask_box(box, sl: slice = _FULL):
+        """Per-lane AABB slab test vs a box given as six scalar loads
+        (from the SMEM node table or a DMA'd paged-node row), pruned by
+        per-ray best t."""
         t1x = (box[0] - ox[sl]) * idx_[sl]
         t2x = (box[3] - ox[sl]) * idx_[sl]
         t1y = (box[1] - oy[sl]) * idy[sl]
@@ -163,6 +173,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best_t_ref[sl])
         return hit, tmin
 
+    def _hitmask_at(b, sl: slice = _FULL):
+        return _hitmask_box(_load_box(b, sl), sl)
+
     def _child_hitmask(node, sl: slice = _FULL):
         return _hitmask_at(node * 6, sl)
 
@@ -171,6 +184,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         (T_FAR on miss): the single masked-min reduction doubles as the
         any-hit test (entry < T_FAR)."""
         hit, tmin = _hitmask_at(b, sl)
+        return jnp.min(jnp.where(hit, tmin, T_FAR))
+
+    def entry_scratch(slot, c, sl: slice = _FULL):
+        """Packet entry t vs child ``c``'s box of the PAGED node staged in
+        pg_scratch slot ``slot``. Box fields are lane-replicated rows, so
+        each read is a (128,) VECTOR that broadcasts against the (R, 128)
+        ray planes — no scalar extraction on the box path."""
+        box = [pg_scratch[slot, c * 6 + f] for f in range(6)]
+        hit, tmin = _hitmask_box(box, sl)
         return jnp.min(jnp.where(hit, tmin, T_FAR))
 
     def child_entry(node, sl: slice = _FULL):
@@ -402,7 +424,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             if steps_ref is not None:
                 steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
-    def run_multi(stack_ref, queue_ref):
+    def run_multi(stack_ref, queue_ref, pqueue_ref=None):
         """``ways`` independent packets of ``rows_pp``x128 rays traverse in
         lockstep inside one grid step (rays (rows_pp*ways,128): rows
         w*rows_pp..(w+1)*rows_pp-1 = packet w). Each loop iteration pops one
@@ -451,6 +473,35 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 links = tuple(links_ref[4 * safe + c] for c in range(4))
             return do, spc, node >= ni, links, safe, qn
 
+        def pop_half_paged(h, sp, qn, pqn):
+            """Paged pop: triangle leaves go to the leaf queue, NON-RESIDENT
+            wide nodes (id >= s_resident) go to the paged-node queue (their
+            HBM row is DMA'd and expanded in the drain phase — a round-trip
+            through the queue instead of an immediate SMEM expansion), and
+            resident nodes expand inline as usual."""
+            do = (sp > 0) & (qn < nq) & (pqn < npq)
+            spc = jnp.maximum(sp - 1, 0)
+            node = stack_ref[h, spc]
+            is_leaf = (node >= ni) & do
+            is_pg = do & (node < ni) & (node >= s_resident)
+
+            @pl.when(is_leaf)
+            def _():
+                queue_ref[h * nq + qn] = node - ni
+
+            @pl.when(is_pg)
+            def _():
+                pqueue_ref[h * npq + pqn] = node - s_resident
+
+            qn = qn + is_leaf.astype(jnp.int32)
+            pqn = pqn + is_pg.astype(jnp.int32)
+            resident = node < s_resident
+            safe = jnp.where(resident, node, 0)
+            links = tuple(links_ref[4 * safe + c] for c in range(4))
+            # "node_leaf" for decide_push4's gate: anything NOT expanded
+            # inline (triangle leaf or paged node)
+            return do, spc, ~resident, links, safe, qn, pqn
+
         def decide_push(h, do, spc, node_leaf, links, le, re, sp_old):
             l, r = links
             near_first = le <= re
@@ -486,6 +537,90 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return jnp.where(do, sp, sp_old)
 
         capm = jnp.int32(8 * ways * (ni + num_leaves) + 64 * ways)
+
+        def paged_dma(slot, p):
+            """Copy paged node ``p``'s 25-row block into VMEM scratch slot
+            ``slot`` (the proven in-loop HBM->VMEM leaf-DMA pattern)."""
+            return pltpu.make_async_copy(
+                prows_ref.at[pl.ds(p * PAGED_NODE_ROWS, PAGED_NODE_ROWS)],
+                pg_scratch.at[slot],
+                pg_sem.at[slot],
+            )
+
+        def fill_pair_paged(state):
+            sps = state[:ways]
+            qns = state[ways:2 * ways]
+            pqns = state[2 * ways:3 * ways]
+            steps = state[-1]
+            pops = [pop_half_paged(w, sps[w], qns[w], pqns[w])
+                    for w in range(ways)]
+            ents = [
+                tuple(entry_at(24 * p[4] + 6 * c, HS[w]) for c in range(4))
+                for w, p in enumerate(pops)
+            ]
+            new_sps = tuple(
+                decide_push4(w, pops[w][0], pops[w][1], pops[w][2],
+                             pops[w][3], ents[w], sps[w])
+                for w in range(ways)
+            )
+            return (new_sps + tuple(p[5] for p in pops)
+                    + tuple(p[6] for p in pops) + (steps + 1,))
+
+        def fill_cond_paged(state):
+            sps = state[:ways]
+            qns = state[ways:2 * ways]
+            pqns = state[2 * ways:3 * ways]
+            any_do = (sps[0] > 0) & (qns[0] < nq) & (pqns[0] < npq)
+            for w in range(1, ways):
+                any_do = any_do | (
+                    (sps[w] > 0) & (qns[w] < nq) & (pqns[w] < npq)
+                )
+            return any_do & (state[-1] < capm)
+
+        def round_body_paged(state):
+            """One paged round: fill (resident expansion + queueing), then
+            start ALL paged-node and leaf DMAs back-to-back, then expand
+            the staged paged nodes (their children go back on the stack —
+            the scalar expansion work overlaps the leaf DMAs still in
+            flight), then dense-test the staged leaves."""
+            sps, steps = list(state[:ways]), state[-1]
+            zero = tuple(jnp.int32(0) for _ in range(2 * ways))
+            st = jax.lax.while_loop(fill_cond_paged, fill_pair_paged,
+                                    tuple(sps) + zero + (steps,))
+            sps = list(st[:ways])
+            qns = st[ways:2 * ways]
+            pqns = st[2 * ways:3 * ways]
+            steps = st[-1]
+            pids = []
+            for j in range(ways * npq):
+                h, jj = divmod(j, npq)
+                pj = jnp.where(jj < pqns[h], pqueue_ref[j], 0)
+                pids.append(pj)
+                paged_dma(j, pj).start()
+            qids = []
+            for j in range(ways * nq):
+                h, jj = divmod(j, nq)
+                qj = jnp.where(jj < qns[h], queue_ref[j], 0)
+                qids.append(qj)
+                leaf_dma(j, qj).start()
+            for j in range(ways * npq):
+                h, jj = divmod(j, npq)
+                paged_dma(j, pids[j]).wait()
+                pvalid = jj < pqns[h]
+                ents = tuple(entry_scratch(j, c, HS[h]) for c in range(4))
+                lks = tuple(jnp.min(pg_scratch[j, 24 + c]).astype(jnp.int32)
+                            for c in range(4))
+                sps[h] = decide_push4(h, pvalid, sps[h], jnp.bool_(False),
+                                      lks, ents, sps[h])
+            for j in range(ways * nq):
+                h, jj = divmod(j, nq)
+                leaf_dma(j, qids[j]).wait()
+
+                @pl.when(jj < qns[h])
+                def _(j=j, h=h):
+                    _dense_rows(j, HS[h])
+
+            return tuple(sps) + (steps,)
 
         def fill_pair(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
@@ -551,15 +686,23 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return alive & (st[-1] < capm)
 
         st = jax.lax.while_loop(
-            outer_cond, round_body,
+            outer_cond, round_body_paged if paged else round_body,
             tuple(jnp.int32(1) for _ in range(ways)) + (jnp.int32(0),),
         )
         if steps_ref is not None:
             steps_ref[...] = jnp.full_like(best_i_ref[...], st[-1])
 
     if (ways > 1 or arity == 4) and ni > 0:
-        pl.run_scoped(run_multi, pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
-                      pltpu.SMEM((max(ways, 1) * nq,), jnp.int32))
+        if paged:
+            pl.run_scoped(
+                run_multi,
+                pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
+                pltpu.SMEM((max(ways, 1) * nq,), jnp.int32),
+                pltpu.SMEM((max(ways, 1) * npq,), jnp.int32),
+            )
+        else:
+            pl.run_scoped(run_multi, pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
+                          pltpu.SMEM((max(ways, 1) * nq,), jnp.int32))
     else:
         pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                       pltpu.SMEM((max(nq, 2),), jnp.int32))
@@ -624,6 +767,82 @@ def _bf16_up_bits(x):
     return jnp.where((x > 0) & (low != 0), trunc + 0x10000, trunc)
 
 
+# Paged mode: wide nodes [0, S) stay SMEM-resident (f32 layout), nodes
+# [S, W) live as LANE-REPLICATED HBM row blocks and are DMA'd into VMEM
+# scratch through a per-way queue when popped — a round-trip through the
+# queue instead of an immediate SMEM expansion. This removes the SMEM size
+# cliff: any scene traverses the Pallas kernel at any leaf size.
+#
+# Why VMEM and why replicated: HBM->SMEM DMA works on this toolchain ONLY
+# outside loop bodies (scripts/smem_dma_probe.py: standalone copies run,
+# the same copy inside a lax.while_loop hangs the Mosaic compiler — the
+# known in-loop-DMA pitfall extends to SMEM destinations; the HBM->VMEM
+# leaf-DMA pattern inside the round loop is proven). A VMEM box field read
+# as a SCALAR costs a ~65-cycle one-hot extraction (the round-1 lesson
+# that moved boxes to SMEM), so each paged box field is stored as one
+# 128-lane REPLICATED row: the slab test consumes `scratch[j, field]` as a
+# (128,) vector broadcast against the (R, 128) ray planes — zero scalar
+# extractions for boxes. Only the 4 child links (row 24, lanes 0-3) pay
+# the extraction, once per paged visit. (Round-4 probe update: a STATIC
+# scalar element read from VMEM scratch also fails to compile here —
+# scripts/paged_patterns_probe.py probe2 — so the links are replicated
+# rows too, extracted by a min-reduction, which probe3/4 prove out.)
+PAGED_QUEUE = 4
+PAGED_NODE_ROWS = 28          # 24 replicated box-field rows + 4 link rows
+# Resident budget below SMEM_NODE_BUDGET: leaves room for the queues and
+# stacks on top of the resident table.
+PAGED_SMEM_BUDGET = 640 << 10
+PAGED_NODE_BYTES = 24 * 4 + 4 * 4  # f32 wide boxes + links (resident)
+
+
+def paged_resident(num_wide: int) -> int:
+    """Resident wide-node count S for the paged kernel."""
+    return max(1, min(num_wide, PAGED_SMEM_BUDGET // PAGED_NODE_BYTES))
+
+
+def _wide_boxes_links(bvh):
+    """(W, 4, 6) child boxes (empty slots = +inf point boxes) and (W, 4)
+    links of the BVH4 overlay, gathered from the live binary boxes."""
+    boxes = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)
+    src = bvh.wide_src
+    g = boxes[jnp.maximum(src, 0)]
+    empty = jnp.full((6,), np.inf, jnp.float32)
+    g = jnp.where((src < 0)[..., None], empty, g)
+    links = jnp.maximum(bvh.wide_child, 0)
+    return g, links
+
+
+def pack_tables_paged(bvh, tri_a, tri_b, tri_c, resident_cap: int | None = None):
+    """Pack for the paged kernel: (nodes4_resident, links4_resident, tris,
+    paged_rows). ``resident_cap`` overrides S (tests force heavy paging
+    with tiny caps).
+
+    paged_rows: ((W-S) * PAGED_NODE_ROWS, 128) f32 — paged node p's block
+    at rows [p*25, p*25+25): row c*6+f = child c's box field f REPLICATED
+    across all 128 lanes (vector-broadcast consumption, see module note),
+    rows 24-27 = the float-encoded child links (< 2^24, exact), also
+    lane-replicated (scalar-extracted by min-reduction; see module note)."""
+    g, links = _wide_boxes_links(bvh)
+    W = bvh.num_wide
+    S = paged_resident(W) if resident_cap is None else max(1, min(W, resident_cap))
+    assert W + bvh.num_leaves < (1 << 24), "paged links exceed f32-exact ids"
+    nodes4 = g[:S].reshape(-1)
+    links4 = links[:S].reshape(-1)
+    n_paged = max(W - S, 1)
+    blocks = jnp.zeros((n_paged, PAGED_NODE_ROWS, 128), jnp.float32)
+    if W > S:
+        boxes = g[S:].reshape(W - S, 24, 1)  # replicate each field row-wide
+        blocks = blocks.at[: W - S, :24, :].set(
+            jnp.broadcast_to(boxes, (W - S, 24, 128))
+        )
+        lk = links[S:].astype(jnp.float32).reshape(W - S, 4, 1)
+        blocks = blocks.at[: W - S, 24:28, :].set(
+            jnp.broadcast_to(lk, (W - S, 4, 128))
+        )
+    rows = blocks.reshape(n_paged * PAGED_NODE_ROWS, 128)
+    return nodes4, links4, _pack_tris(bvh, tri_a, tri_b, tri_c), rows
+
+
 def pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc: str = "f32"):
     """Pack the BVH4 overlay for the wide kernel.
 
@@ -676,10 +895,11 @@ def wide_mode(bvh):
     (242k-tri courtyard, incoherent Mrays/s): full-precision BVH4 overlay
     1.58 > binary 1.52 > bf16-quantized overlay 1.30 — so "f32" when that
     table fits SMEM, None (binary tables) when only they do, "bf16" (half
-    the f32-wide bytes, conservatively dilated boxes) as the last resort
-    that keeps multi-million-tri scenes on the Pallas kernel, and None
-    when even that overflows (raycast then falls back to the XLA walk via
-    fits_smem)."""
+    the f32-wide bytes, conservatively dilated boxes) next, and "paged"
+    (top of the wide tree resident, the rest DMA'd per visit from HBM
+    rows) when no full table fits — the Pallas kernel no longer has a
+    scene-size cliff (the reference's traversal has none either,
+    TerraBVH.c:250-310: CPU caches page its node array transparently)."""
     nw = getattr(bvh, "num_wide", 0)
     if nw <= 0:
         return None
@@ -689,7 +909,7 @@ def wide_mode(bvh):
         return None
     if nw * (12 * 4 + 4 * 4) <= SMEM_NODE_BUDGET:
         return "bf16"
-    return None
+    return "paged"
 
 
 def use_wide(bvh) -> bool:
@@ -700,6 +920,8 @@ def use_wide(bvh) -> bool:
 def pack_tables_auto(bvh, tri_a, tri_b, tri_c):
     """The table set matching what :func:`raycast` will traverse."""
     mode = wide_mode(bvh)
+    if mode == "paged":
+        return pack_tables_paged(bvh, tri_a, tri_b, tri_c)
     if mode is not None:
         return pack_tables_wide(bvh, tri_a, tri_b, tri_c, box_enc=mode)
     return pack_tables(bvh, tri_a, tri_b, tri_c)
@@ -711,7 +933,9 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      push_mode: str = "entry", ways: int = 1,
                      arity: int = 2, box_enc: str = "f32",
                      t_max=None, any_hit: bool = False,
-                     count_steps: bool = False):
+                     count_steps: bool = False,
+                     paged_rows=None, s_resident: int = 0,
+                     npq: int = PAGED_QUEUE):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
     ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
@@ -725,8 +949,13 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     # is roughly half the binary depth). A tree too deep for STACK_DEPTH
     # fails HERE, at trace time, not as silent SMEM corruption at run time
     # (courtyard 242k: binary depth 18, wide depth 10 -> need 32 of 96).
+    paged = paged_rows is not None
     if arity == 4:
         need = 3 * getattr(bvh, "wide_depth", 0) + 2
+        if paged:
+            # per-way stack: each of the way's npq drained paged slots
+            # pushes up to 4 children on top of the fill loop's DFS bound
+            need += 4 * npq
     else:
         need = getattr(bvh, "depth", 0) + 2
     assert need <= 2 or need <= STACK_DEPTH, (
@@ -757,16 +986,31 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         box_enc=box_enc,
         has_tmax=t_max is not None, any_hit=any_hit,
         count_steps=count_steps,
+        s_resident=s_resident, npq=npq if paged else 0,
     )
     n_out = 3 if count_steps else 2
+    table_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes (flat)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # child links (flat)
+        pl.BlockSpec(memory_space=pl.ANY),       # tris: HBM rows
+    ]
+    tables = [nodes, links, tris]
+    scratch = [
+        pltpu.VMEM((max(ways, 1) * queue, bvh.leaf_size, TRI_FIELDS),
+                   jnp.float32),
+        pltpu.SemaphoreType.DMA((max(ways, 1) * queue,)),
+    ]
+    if paged:
+        table_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # paged rows
+        tables.append(paged_rows)
+        scratch += [
+            pltpu.VMEM((max(ways, 1) * npq, PAGED_NODE_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((max(ways, 1) * npq,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(num_packets,),
-        in_specs=[ray_spec] * len(comps) + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # node boxes (flat)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # child links (flat)
-            pl.BlockSpec(memory_space=pl.ANY),       # tris: HBM rows
-        ],
+        in_specs=[ray_spec] * len(comps) + table_specs,
         out_specs=[
             pl.BlockSpec((packet_rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -775,13 +1019,9 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
             jax.ShapeDtypeStruct((rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((rows, 128), jnp.int32)] if count_steps else []),
-        scratch_shapes=[
-            pltpu.VMEM((max(ways, 1) * queue, bvh.leaf_size, TRI_FIELDS),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA((max(ways, 1) * queue,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(*comps, nodes, links, tris)
+    )(*comps, *tables)
     best_t, best_i = out[0], out[1]
     if count_steps:
         return best_t.reshape(-1), best_i.reshape(-1), out[2].reshape(-1)
@@ -815,6 +1055,23 @@ def supported(bvh) -> bool:
     return fits_smem(bvh)
 
 
+def traverse_packed(bvh, packed, o, d, mode=None, **kw):
+    """Bench/probe entry: run :func:`_traverse_pallas` on a pre-packed
+    table set, dispatching on its layout (3-tuple = resident tables at
+    ``mode`` encoding, 4-tuple = paged). Defaults to the interleaved
+    coherent packet shape."""
+    kw.setdefault("packet_rows", PACKET_ROWS * INTERLEAVE)
+    kw.setdefault("ways", INTERLEAVE)
+    if len(packed) == 4:
+        nodes, links, tris, prows = packed
+        return _traverse_pallas(bvh, nodes, links, tris, o, d, arity=4,
+                                box_enc="f32", paged_rows=prows,
+                                s_resident=nodes.shape[0] // 24, **kw)
+    mode = wide_mode(bvh) if mode is None else mode
+    return _traverse_pallas(bvh, *packed, o, d, arity=4 if mode else 2,
+                            box_enc=mode or "f32", **kw)
+
+
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             packed=None, algo: str = "mt", sort_mode: str = "octant",
             t_max=None, any_hit: bool = False, packet_shape=None) -> RayHit:
@@ -842,7 +1099,13 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     tri_a, tri_b, tri_c = scene.geometry.corners()
     if packed is None:
         packed = pack_tables_auto(bvh, tri_a, tri_b, tri_c)
-    nodes, links, tris = packed
+    if len(packed) == 4:  # paged pack (resident tables + HBM node rows)
+        nodes, links, tris, prows = packed
+        mode = "paged"
+        s_res = nodes.shape[0] // 24  # resident count from the packed table
+    else:
+        nodes, links, tris = packed
+        prows, s_res = None, 0
     n = o.shape[0]
     tm = t_max
 
@@ -881,8 +1144,9 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
                                       packet_rows=rows_pp * ways, ways=ways,
                                       arity=4 if mode else 2,
-                                      box_enc=mode or "f32",
-                                      algo=algo, t_max=tm, any_hit=any_hit)
+                                      box_enc="f32" if mode == "paged" else (mode or "f32"),
+                                      algo=algo, t_max=tm, any_hit=any_hit,
+                                      paged_rows=prows, s_resident=s_res)
     best_t = best_t[:n]
     best_i = best_i[:n]
     if order is not None:

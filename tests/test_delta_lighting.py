@@ -153,12 +153,9 @@ def test_mirror_cornell_golden(integrator):
     film = tt.render(scene, cam, opts, seed=31)
     img_jax = np.asarray(film.mean())
     img_np = oracle.render_mirror(scene, cam, opts, seed=31)
-    rel = np.abs(img_jax - img_np) / np.maximum(np.abs(img_np), 1e-2)
-    assert (rel > 2e-3).mean() < 1.5e-2, (
-        f"{(rel > 2e-3).mean():.4%} deviate; jax {img_jax.mean():.4f} "
-        f"vs np {img_np.mean():.4f}"
-    )
-    assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < 6e-3
+    from tests.test_golden import _assert_twin_match
+
+    _assert_twin_match(img_jax, img_np, 2e-3, 1.5e-2, 6e-3)
 
 
 def test_mirror_cornell_direct_vs_mis_expectation():

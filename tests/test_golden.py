@@ -23,16 +23,28 @@ def _compare(opts, seed=3, tol=2e-3, flip_budget=8e-3):
     film = tt.render(scene, cam, opts, seed=seed)
     img_jax = np.asarray(film.mean())
     img_np = mirror.render_mirror(scene, cam, opts, seed=seed)
+    _assert_twin_match(img_jax, img_np, tol, flip_budget, 5e-3)
+
+
+def _assert_twin_match(img_jax, img_np, tol, flip_budget, energy_tol):
+    """Same-seed twin comparison (VERDICT r3 weak #6 tightening): lanes
+    that draw the same randoms and take the same discrete decisions agree
+    to f32 reassociation (measured ~7e-6 max on the BVH goldens), so ANY
+    pixel above 1e-4 is a discrete flip and counts against the sparse
+    flip budget — a systematic drift that nudged every pixel by ~1e-3
+    (invisible to the old tol-only check) now fails immediately."""
     diff = np.abs(img_jax - img_np)
     scale = np.maximum(np.abs(img_np), 1e-2)
     rel = diff / scale
-    frac_bad = (rel > tol).mean()
-    assert frac_bad <= flip_budget, (
-        f"{frac_bad:.4%} of pixels deviate; max rel {rel.max():.3e}, "
-        f"mean jax {img_jax.mean():.4f} vs np {img_np.mean():.4f}"
-    )
+    for t in (tol, 1e-4):
+        frac_bad = (rel > t).mean()
+        assert frac_bad <= flip_budget, (
+            f"{frac_bad:.4%} of pixels deviate above {t:g}; max rel "
+            f"{rel.max():.3e}, mean jax {img_jax.mean():.4f} vs np "
+            f"{img_np.mean():.4f}"
+        )
     # aggregate energy must agree tightly even when single lanes flip
-    assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < 5e-3
+    assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < energy_tol
 
 
 @pytest.mark.parametrize("integrator", [tt.Integrator.SIMPLE, tt.Integrator.DIRECT, tt.Integrator.DIRECT_MIS])
@@ -52,11 +64,9 @@ def test_golden_phong():
     film = tt.render(scene, cam, opts, seed=5)
     img_jax = np.asarray(film.mean())
     img_np = mirror.render_mirror(scene, cam, opts, seed=5)
-    rel = np.abs(img_jax - img_np) / np.maximum(np.abs(img_np), 1e-2)
     # phong's lobe roulette doubles the discrete decisions per bounce, so
     # the ulp-boundary flip rate is higher than the diffuse cases
-    assert (rel > 2e-3).mean() < 1.2e-2
-    assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < 5e-3
+    _assert_twin_match(img_jax, img_np, 2e-3, 1.2e-2, 5e-3)
 
 
 def _compare_scene(scene, opts, seed=3, tol=2e-3, flip_budget=1.2e-2, energy_tol=5e-3):
@@ -64,13 +74,7 @@ def _compare_scene(scene, opts, seed=3, tol=2e-3, flip_budget=1.2e-2, energy_tol
     film = tt.render(scene, cam, opts, seed=seed)
     img_jax = np.asarray(film.mean())
     img_np = mirror.render_mirror(scene, cam, opts, seed=seed)
-    rel = np.abs(img_jax - img_np) / np.maximum(np.abs(img_np), 1e-2)
-    frac_bad = (rel > tol).mean()
-    assert frac_bad <= flip_budget, (
-        f"{frac_bad:.4%} of pixels deviate; max rel {rel.max():.3e}, "
-        f"mean jax {img_jax.mean():.4f} vs np {img_np.mean():.4f}"
-    )
-    assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < energy_tol
+    _assert_twin_match(img_jax, img_np, tol, flip_budget, energy_tol)
 
 
 def test_golden_ggx_mis():
