@@ -386,10 +386,7 @@ def bench_mega(tt, key):
         keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0],
                                        mode=mode_s)
         order = jnp.argsort(keys)
-        return pt._traverse_pallas(bvh, *packed, o[order], d[order],
-                                   packet_rows=pt.PACKET_ROWS * pt.INTERLEAVE,
-                                   ways=pt.INTERLEAVE, arity=arity,
-                                   box_enc=mode or "f32")
+        return pt.traverse_packed(bvh, packed, o[order], d[order], mode=mode)
 
     run_j = jax.jit(functools.partial(run, mode_s="dir3"))
     jax.block_until_ready(run_j(packed, o, d))

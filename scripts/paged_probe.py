@@ -45,14 +45,15 @@ def rays_for(scene, n=1 << 20, kind="primary", cam=None):
     return o, jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
 
 
-def gate_and_time(scene, packed, o, d, sort_mode, label, reps=3, n_check=2048):
+def gate_and_time(scene, packed, o, d, sort_mode, label, reps=3, n_check=2048,
+                  **tkw):
     bvh = scene.bvh
 
     def run(packed, o, d):
         keys = xla_traverse._sort_keys(o, d, bvh.node_min[0], bvh.node_max[0],
                                        mode=sort_mode)
         order = jnp.argsort(keys)
-        bt, bi = pt.traverse_packed(bvh, packed, o[order], d[order])
+        bt, bi = pt.traverse_packed(bvh, packed, o[order], d[order], **tkw)
         return bt, bi, order
 
     run_j = jax.jit(run)
@@ -95,6 +96,7 @@ def main():
     ap.add_argument("--caps", type=int, nargs="*", default=[0])
     ap.add_argument("--incoherent", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--npq", type=int, nargs="*", default=[4])
     args = ap.parse_args()
 
     if args.courtyard:
@@ -134,12 +136,14 @@ def main():
             o, d = rays_for(scene, kind="primary", cam=cam)
             packed = pt.pack_tables_paged(scene.bvh, *corners)
             s = packed[0].shape[0] // 24
-            gate_and_time(scene, packed, o, d, "dir3",
-                          f"leaf{leaf} paged res={s}/{scene.bvh.num_wide} primary")
-            if args.incoherent:
-                oi, di = rays_for(scene, kind="incoherent")
-                gate_and_time(scene, packed, oi, di, "octant",
-                              f"leaf{leaf} paged incoh")
+            for npq in args.npq:
+                gate_and_time(scene, packed, o, d, "dir3",
+                              f"leaf{leaf} npq{npq} paged res={s}/{scene.bvh.num_wide} primary",
+                              npq=npq)
+                if args.incoherent:
+                    oi, di = rays_for(scene, kind="incoherent")
+                    gate_and_time(scene, packed, oi, di, "octant",
+                                  f"leaf{leaf} npq{npq} paged incoh", npq=npq)
             if args.bf16 and pt.wide_mode(scene.bvh) == "bf16":
                 packed_b = pt.pack_tables_wide(scene.bvh, *corners, box_enc="bf16")
                 gate_and_time(scene, packed_b, o, d, "dir3",

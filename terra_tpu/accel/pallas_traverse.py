@@ -604,14 +604,23 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 qids.append(qj)
                 leaf_dma(j, qj).start()
             for j in range(ways * npq):
-                h, jj = divmod(j, npq)
                 paged_dma(j, pids[j]).wait()
+            # all slots' vector slab tests trace before any push consumes a
+            # reduction (the fill loop's latency-hiding pattern)
+            all_ents = [
+                tuple(entry_scratch(j, c, HS[j // npq]) for c in range(4))
+                for j in range(ways * npq)
+            ]
+            all_lks = [
+                tuple(jnp.min(pg_scratch[j, 24 + c]).astype(jnp.int32)
+                      for c in range(4))
+                for j in range(ways * npq)
+            ]
+            for j in range(ways * npq):
+                h, jj = divmod(j, npq)
                 pvalid = jj < pqns[h]
-                ents = tuple(entry_scratch(j, c, HS[h]) for c in range(4))
-                lks = tuple(jnp.min(pg_scratch[j, 24 + c]).astype(jnp.int32)
-                            for c in range(4))
                 sps[h] = decide_push4(h, pvalid, sps[h], jnp.bool_(False),
-                                      lks, ents, sps[h])
+                                      all_lks[j], all_ents[j], sps[h])
             for j in range(ways * nq):
                 h, jj = divmod(j, nq)
                 leaf_dma(j, qids[j]).wait()

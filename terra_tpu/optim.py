@@ -158,13 +158,32 @@ def make_train_step(cam: Camera, opts: RenderOptions, target, optimizer, spp: Op
     return step
 
 
-def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer, mesh: Mesh, spp: Optional[int] = None):
+def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer, mesh: Mesh, spp: Optional[int] = None, grad_chunks: int = 1):
     """Sharded train step: forward+backward wavefront under shard_map with
     rows/samples sharded, scene-param grads psum-reduced over the mesh.
 
     The per-device loss is the *local sum* of squared error over its row
     band and sample slice; psum over both axes then normalizes to the
     global mean — so gradients equal the single-device step exactly.
+
+    ``grad_chunks > 1`` splits the per-device sample slice into chunks and
+    psum-reduces each chunk's gradient SEPARATELY, right after that
+    chunk's backward — the structural form the north star's "grad
+    all-reduce overlapped with the backward sweep" needs: chunk i's
+    all-reduce has no data dependence on chunk i+1's backward, so an
+    async-collective scheduler can run them concurrently
+    (scripts/allreduce_overlap_probe.py records the compiler's actual
+    schedule; docs/PARITY.md discusses the evidence).
+
+    Gradient math: manual shared-cotangent VJPs. jax.vjp over each chunk's
+    accumulator returns the forward value too, the full image's loss
+    cotangent is formed once, and each chunk's pullback runs with it —
+    summing to the exact whole-step gradient. This replaces a
+    value_and_grad(local_loss) formulation whose psum("samples") inside
+    the loss TRANSPOSED to another psum under check_vma=False, silently
+    scaling gradients by the sample-axis size (caught by
+    tests/test_sharding.py::test_chunked_grad_allreduce_matches_unchunked
+    against the unsharded ground truth — a round-<=3 latent bug).
     """
     spp_eff = spp or opts.samples_per_pixel
     n_rows = mesh.shape["rows"]
@@ -172,30 +191,46 @@ def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer,
     assert opts.height % n_rows == 0 and spp_eff % n_samp == 0
     rows_per = opts.height // n_rows
     spp_per = spp_eff // n_samp
+    assert spp_per % grad_chunks == 0, (spp_per, grad_chunks)
+    sub = spp_per // grad_chunks
     denom = np.float32(opts.width * opts.height * 3)
 
-    def local_loss(params, scene, key, sample_offset, tgt_rows):
-        ri = jax.lax.axis_index("rows")
-        si = jax.lax.axis_index("samples")
+    def _local_acc(params, scene, key, base_offset, n_samples):
         scene_p = inject_params(scene, params)
         cam_p = inject_camera(cam, params)
-        acc = render_rows(
-            scene_p, cam_p, opts, key, sample_offset + si * spp_per, spp_per,
+        ri = jax.lax.axis_index("rows")
+        return render_rows(
+            scene_p, cam_p, opts, key, base_offset, n_samples,
             ri * rows_per, rows_per,
         )
-        # mean over the *global* sample count: psum of partial sums
-        img = jax.lax.psum(acc, "samples") / np.float32(spp_eff)
-        return jnp.sum((img - tgt_rows) ** 2) / denom
 
     def sharded_grads(params, scene, key, sample_offset, tgt):
-        # Each device's backward sees only its own sample-shard's cotangent
-        # (psum transposes to broadcast), so grad_{ri,si} covers exactly its
-        # (row band, sample slice); one psum over the whole mesh yields the
-        # global gradient — the all-reduce the north star overlaps with the
-        # backward sweep.
-        loss, grads = jax.value_and_grad(local_loss)(params, scene, key, sample_offset, tgt)
-        grads = jax.lax.psum(grads, ("rows", "samples"))
-        loss = jax.lax.psum(loss, "rows")  # identical across sample shards
+        si = jax.lax.axis_index("samples")
+        base = sample_offset + si * spp_per
+        # per-chunk forwards + pullbacks (vjp returns the forward value, so
+        # no duplicated rendering)
+        accs, vjps = [], []
+        for i in range(grad_chunks):
+            acc_i, vjp_fn = jax.vjp(
+                lambda p, i=i: _local_acc(p, scene, key, base + i * sub, sub),
+                params,
+            )
+            accs.append(acc_i)
+            vjps.append(vjp_fn)
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc + a
+        img = jax.lax.psum(acc, "samples") / np.float32(spp_eff)
+        loss = jax.lax.psum(jnp.sum((img - tgt) ** 2) / denom, "rows")
+        # d loss / d local_acc: the image cotangent is shared by every
+        # sample shard (psum's mathematical transpose is broadcast)
+        cot_acc = 2.0 * (img - tgt) / (denom * np.float32(spp_eff))
+        grads = None
+        for vjp_fn in vjps:
+            (g_i,) = vjp_fn(cot_acc)
+            g_i = jax.lax.psum(g_i, ("rows", "samples"))  # per-chunk reduce
+            grads = g_i if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g_i)
         return loss, grads
 
     shard_fn = jax.shard_map(

@@ -77,3 +77,52 @@ def test_band_sharded_matches_whole_frame(setup):
                                            jnp.int32(b0), 8, band, mesh))
         acc[b0:b0 + band] += a
     np.testing.assert_allclose(acc, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_grad_allreduce_matches_unchunked(setup):
+    """grad_chunks>1 (per-chunk psum right after each chunk's backward —
+    the overlap-ready form of the north star's gradient all-reduce) must
+    produce the same gradients as the single end-of-backward psum: the
+    shared-cotangent VJP decomposition is exact."""
+    import optax
+
+    import terra_tpu as tt
+    from terra_tpu import optim
+    from terra_tpu.ops import rng as rng_mod
+    from terra_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2))
+    scene = tt.scenes.cornell_box()
+    cam = tt.scenes.cornell_camera()
+    opts = tt.RenderOptions(width=8, height=8, samples_per_pixel=8, bounces=1,
+                            integrator=tt.Integrator.DIRECT)
+    k0, k1 = rng_mod.key_from_seed(3)
+    key = jnp.array([k0, k1], jnp.uint32)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+    optimizer = optax.sgd(1e-2)  # sgd: params after 1 step expose raw grads
+    params = optim.extract_params(scene, ("attrs", "emissive"))
+
+    outs = {}
+    for chunks in (1, 4):
+        state = optim.TrainState(params, optimizer.init(params), jnp.int32(0))
+        step = optim.make_train_step_sharded(cam, opts, target, optimizer,
+                                             mesh, grad_chunks=chunks)
+        st, loss = step(state, scene, key)
+        outs[chunks] = (st.params, float(loss))
+
+    assert np.isclose(outs[1][1], outs[4][1], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[1][0]),
+                    jax.tree_util.tree_leaves(outs[4][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    # absolute correctness: sharded grads == the unsharded ground truth
+    # (sgd lr 1e-2: params after one step expose grads; this is what
+    # caught the psum-transpose 2x scaling of the r<=3 formulation)
+    loss_fn = optim.make_loss_fn(cam, opts, target)
+    g_ref = jax.grad(loss_fn)(params, scene, key, jnp.int32(0))
+    for (name, p1), p0 in zip(sorted(outs[1][0].items()),
+                              (params[k] for k in sorted(params))):
+        g_sh = (np.asarray(p0) - np.asarray(p1)) / 1e-2
+        np.testing.assert_allclose(g_sh, np.asarray(g_ref[name]),
+                                   rtol=2e-3, atol=2e-5)
