@@ -109,7 +109,7 @@ def main():
         for cap in args.caps:
             packed = pt.pack_tables_paged(scene.bvh, *corners,
                                           resident_cap=cap or None)
-            s = packed[0].shape[0] // 24
+            s = packed[0].shape[0] // (12 if packed[0].dtype == jnp.int32 else 24)
             gate_and_time(scene, packed, o, d, "dir3",
                           f"paged res={s}/{scene.bvh.num_wide} primary")
             if args.incoherent:
@@ -135,7 +135,7 @@ def main():
             corners = scene.geometry.corners()
             o, d = rays_for(scene, kind="primary", cam=cam)
             packed = pt.pack_tables_paged(scene.bvh, *corners)
-            s = packed[0].shape[0] // 24
+            s = packed[0].shape[0] // (12 if packed[0].dtype == jnp.int32 else 24)
             for npq in args.npq:
                 gate_and_time(scene, packed, o, d, "dir3",
                               f"leaf{leaf} npq{npq} paged res={s}/{scene.bvh.num_wide} primary",

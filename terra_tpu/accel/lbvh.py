@@ -215,15 +215,23 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
     from .. import native
     from . import pallas_traverse as _pt
 
-    def _node_bytes(leaves):
-        # Size for the FULL-PRECISION BVH4 overlay (112 B/wide node incl.
-        # links; ~0.55 wide nodes per leaf on courtyard-class SAH trees):
-        # measured best on incoherent rays at 242k tris (f32-wide leaf 24 =
-        # 1.58 Mrays/s vs binary 1.52, bf16-wide 1.30 — the bf16 decode
-        # costs more than its smaller table buys at this scale). Scenes too
-        # big for any f32-wide leaf fall through to bf16/binary in
-        # pallas_traverse.wide_mode.
-        return int(leaves * 0.55) * 112
+    # Auto leaf policy (round-4 measured, 1M-tri sweep in CLAUDE.md):
+    #   * small scenes: grow until the FULL-PRECISION f32 BVH4 table fits
+    #     (112 B/wide node) but only up to leaf 32 — f32-wide measured best
+    #     on incoherent rays at 242k tris (1.58 Mrays/s vs binary 1.52,
+    #     bf16 1.30) and small leaves keep dense tests cheap;
+    #   * bigger scenes: grow until the bf16 table fits (64 B/wide node)
+    #     up to leaf 64 — 1M tris measured 15.8 Mrays/s primary at
+    #     bf16-full leaf 64 vs 13.5 at the old f32-full leaf 96 policy
+    #     (leaf 72/80 regress: 15.3/14.1);
+    #   * anything larger stays at leaf 64 and traverses PAGED (top of the
+    #     wide tree SMEM-resident, the rest DMA'd per visit) — no size
+    #     cliff, no XLA-walk fallback.
+    F32_LEAF_CAP, BF16_LEAF_CAP = 32, 64
+
+    def _est_fits(leaf, bytes_per_wide):
+        leaves = max((len(vidx) + leaf - 1) // leaf, 1)
+        return int(leaves * 0.55) * bytes_per_wide <= _pt.SMEM_NODE_BUDGET
 
     use_sah = builder == "sah" and native.available()
     auto = leaf_size is None
@@ -231,32 +239,38 @@ def build(geometry, leaf_size: int | None = None, builder: str = "sah") -> LBVH:
         leaf_size = DEFAULT_LEAF_SIZE
         # first estimate from ceil(T/L); SAH may produce up to 2x (half-full
         # leaves) — the actual count is re-checked after the build below
-        while leaf_size < 1024:
-            leaves = max((len(vidx) + leaf_size - 1) // leaf_size, 1)
-            if _node_bytes(leaves) <= _pt.SMEM_NODE_BUDGET:
-                break
+        while leaf_size < F32_LEAF_CAP and not _est_fits(leaf_size, 112):
             leaf_size += 8
+        if not _est_fits(leaf_size, 112):
+            while leaf_size < BF16_LEAF_CAP and not _est_fits(leaf_size, 64):
+                leaf_size += 8
 
     nat = native.sah_build(pos, vidx, leaf_size) if use_sah else native.lbvh_build(pos, vidx, leaf_size)
 
-    def _actual_wide_bytes(nat):
+    def _actual(nat):
         # the recheck uses the ACTUAL collapsed wide-node count, not the
         # 0.55/leaf estimate (which overshoots ~5% and needlessly grows
         # leaves right at the SMEM boundary — 242k courtyard: estimate
         # says leaf 32, the real table fits at leaf 24)
         wc, ws, nw, wd = _collapse4(nat["left"], nat["right"],
                                     nat["box_min"], nat["box_max"])
-        return (wc, ws, nw, wd), nw * 112
+        return (wc, ws, nw, wd), nw
 
-    collapsed, wide_bytes = _actual_wide_bytes(nat) if nat is not None else (None, 0)
-    while (auto and use_sah and nat is not None and leaf_size < 1024
-           and wide_bytes > _pt.SMEM_NODE_BUDGET):
+    def _needs_growth(nw, leaf):
+        if leaf >= BF16_LEAF_CAP:
+            return False  # paged mode handles any size from here
+        per = 112 if leaf < F32_LEAF_CAP else 64
+        return nw * per > _pt.SMEM_NODE_BUDGET
+
+    collapsed, nw_actual = _actual(nat) if nat is not None else (None, 0)
+    while (auto and use_sah and nat is not None
+           and _needs_growth(nw_actual, leaf_size)):
         # data-dependent SAH leaf count overflowed the kernel's SMEM node
         # budget: grow leaves and rebuild (native build is ~100ms at 300k
         # tris, so the retry is cheap)
         leaf_size += 8
         nat = native.sah_build(pos, vidx, leaf_size)
-        collapsed, wide_bytes = _actual_wide_bytes(nat)
+        collapsed, nw_actual = _actual(nat)
     if nat is not None:
         c = nat["num_leaves"]
         wc, ws, nw, wd = collapsed

@@ -62,7 +62,8 @@ INTERLEAVE = 4
 # round-3 TPU sweep lands (narrow shapes selectable via packet_shape).
 INCOH_ROWS = 8
 INCOH_WAYS = 4
-STACK_DEPTH = 96
+STACK_DEPTH = 160  # 96 covered every resident tree; paged drains push up
+                   # to 4*npq more entries on top of the DFS bound
 QUEUE = 4       # leaf DMAs in flight per drain round
 # Leaf-test row bands (masked independently per leaf). MEASURED NEGATIVE at
 # 2 on both 76k-primary (23.1 -> 17.8 Mrays/s) and incoherent (2.08 -> 1.68):
@@ -554,8 +555,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             steps = state[-1]
             pops = [pop_half_paged(w, sps[w], qns[w], pqns[w])
                     for w in range(ways)]
+            cs = 3 if box_enc == "bf16" else 6  # resident words per child box
             ents = [
-                tuple(entry_at(24 * p[4] + 6 * c, HS[w]) for c in range(4))
+                tuple(entry_at(4 * cs * p[4] + cs * c, HS[w]) for c in range(4))
                 for w, p in enumerate(pops)
             ]
             new_sps = tuple(
@@ -821,21 +823,39 @@ def _wide_boxes_links(bvh):
     return g, links
 
 
-def pack_tables_paged(bvh, tri_a, tri_b, tri_c, resident_cap: int | None = None):
+def pack_tables_paged(bvh, tri_a, tri_b, tri_c, resident_cap: int | None = None,
+                      resident_enc: str = "bf16"):
     """Pack for the paged kernel: (nodes4_resident, links4_resident, tris,
     paged_rows). ``resident_cap`` overrides S (tests force heavy paging
     with tiny caps).
 
+    ``resident_enc``: the RESIDENT table's box encoding. "bf16"
+    (conservatively-dilated packed boxes, the pack_tables_wide scheme)
+    doubles the resident node count per SMEM byte — measured the dominant
+    paged-mode lever, because wide-node visit frequency decays
+    geometrically with depth: at 1M tris / leaf 48 it lifts residency
+    from 35% to 62% of the wide tree and cuts paged DMA traffic to the
+    cold bottom levels.
+
     paged_rows: ((W-S) * PAGED_NODE_ROWS, 128) f32 — paged node p's block
-    at rows [p*25, p*25+25): row c*6+f = child c's box field f REPLICATED
+    at rows [p*28, p*28+28): row c*6+f = child c's box field f REPLICATED
     across all 128 lanes (vector-broadcast consumption, see module note),
     rows 24-27 = the float-encoded child links (< 2^24, exact), also
     lane-replicated (scalar-extracted by min-reduction; see module note)."""
     g, links = _wide_boxes_links(bvh)
     W = bvh.num_wide
-    S = paged_resident(W) if resident_cap is None else max(1, min(W, resident_cap))
+    per_node = 12 * 4 + 4 * 4 if resident_enc == "bf16" else PAGED_NODE_BYTES
+    if resident_cap is None:
+        S = max(1, min(W, PAGED_SMEM_BUDGET // per_node))
+    else:
+        S = max(1, min(W, resident_cap))
     assert W + bvh.num_leaves < (1 << 24), "paged links exceed f32-exact ids"
-    nodes4 = g[:S].reshape(-1)
+    if resident_enc == "bf16":
+        mn = _bf16_down_bits(g[:S, :, 0:3])
+        mx = _bf16_up_bits(g[:S, :, 3:6])
+        nodes4 = ((mn & jnp.int32(~0xFFFF)) | ((mx >> 16) & 0xFFFF)).reshape(-1)
+    else:
+        nodes4 = g[:S].reshape(-1)
     links4 = links[:S].reshape(-1)
     n_paged = max(W - S, 1)
     blocks = jnp.zeros((n_paged, PAGED_NODE_ROWS, 128), jnp.float32)
@@ -1073,9 +1093,12 @@ def traverse_packed(bvh, packed, o, d, mode=None, **kw):
     kw.setdefault("ways", INTERLEAVE)
     if len(packed) == 4:
         nodes, links, tris, prows = packed
+        res_bf16 = nodes.dtype == jnp.int32
         return _traverse_pallas(bvh, nodes, links, tris, o, d, arity=4,
-                                box_enc="f32", paged_rows=prows,
-                                s_resident=nodes.shape[0] // 24, **kw)
+                                box_enc="bf16" if res_bf16 else "f32",
+                                paged_rows=prows,
+                                s_resident=nodes.shape[0] // (12 if res_bf16 else 24),
+                                **kw)
     mode = wide_mode(bvh) if mode is None else mode
     return _traverse_pallas(bvh, *packed, o, d, arity=4 if mode else 2,
                             box_enc=mode or "f32", **kw)
@@ -1111,10 +1134,12 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     if len(packed) == 4:  # paged pack (resident tables + HBM node rows)
         nodes, links, tris, prows = packed
         mode = "paged"
-        s_res = nodes.shape[0] // 24  # resident count from the packed table
+        # resident count + encoding from the packed table itself
+        res_bf16 = nodes.dtype == jnp.int32
+        s_res = nodes.shape[0] // (12 if res_bf16 else 24)
     else:
         nodes, links, tris = packed
-        prows, s_res = None, 0
+        prows, s_res, res_bf16 = None, 0, False
     n = o.shape[0]
     tm = t_max
 
@@ -1153,7 +1178,8 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     best_t, best_i = _traverse_pallas(bvh, nodes, links, tris, o, d, interpret,
                                       packet_rows=rows_pp * ways, ways=ways,
                                       arity=4 if mode else 2,
-                                      box_enc="f32" if mode == "paged" else (mode or "f32"),
+                                      box_enc=("bf16" if res_bf16 else "f32")
+                                      if mode == "paged" else (mode or "f32"),
                                       algo=algo, t_max=tm, any_hit=any_hit,
                                       paged_rows=prows, s_resident=s_res)
     best_t = best_t[:n]
