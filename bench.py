@@ -250,22 +250,27 @@ def bench_courtyard(tt, key):
 
     _verify_compiled_kernel(scene, o, d)
 
-    def run(packed, o, d, mode):
-        keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0],
-                                       scene.bvh.node_max[0], mode=mode)
+    leaf_of = xla_traverse.leaf_of_tri_table(scene.bvh)
+
+    def run(packed, o, d, mode, hint=None):
+        if hint is not None:  # parent-hit keys (the production bounce sort)
+            keys = xla_traverse.hinted_keys(leaf_of, hint, d)
+        else:
+            keys = xla_traverse._sort_keys(o, d, scene.bvh.node_min[0],
+                                           scene.bvh.node_max[0], mode=mode)
         order = jnp.argsort(keys)
         return pt._traverse_pallas(scene.bvh, *packed, o[order], d[order],
                                    packet_rows=pt.PACKET_ROWS * pt.INTERLEAVE,
                                    ways=pt.INTERLEAVE, arity=arity,
                                    box_enc=wmode or "f32")
 
-    def timed(o, d, mode):
+    def timed(o, d, mode, hint=None):
         run_j = jax.jit(functools.partial(run, mode=mode))
-        jax.block_until_ready(run_j(packed, o, d))
+        jax.block_until_ready(run_j(packed, o, d, hint=hint))
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = run_j(packed, o, d)
+            out = run_j(packed, o, d, hint=hint)
         jax.block_until_ready(out)
         return n / ((time.perf_counter() - t0) / reps) / 1e6
 
@@ -313,9 +318,11 @@ def bench_courtyard(tt, key):
         (st * jnp.cos(phi))[:, None] * t_ax + (st * jnp.sin(phi))[:, None] * b_ax
         + jnp.sqrt(e1)[:, None] * nrm)
     o_s = surf.point + nrm * np.float32(1e-4)
-    mrays_s = timed(o_s, d_s, "octant")
+    # production bounce sort: parent-hit (leaf, dir3) keys — the wavefront
+    # driver threads the previous hit's tri ids into every raycast
+    mrays_s = timed(o_s, d_s, "octant", hint=hit0.tri)
     _emit("courtyard_bounce_mrays", mrays_s, "Mrays/s",
-          mrays_s / BASE_COURTYARD_BOUNCE, tris=ntri)
+          mrays_s / BASE_COURTYARD_BOUNCE, tris=ntri, sort="parent-hit")
 
     # 3b: the PRODUCTION path end-to-end — full render loop (camera, BVH
     # traversal, textured surfaces, GGX, NEE shadow rays, persistent lanes)

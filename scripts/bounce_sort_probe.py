@@ -102,9 +102,14 @@ def main():
         if kind == "wide+dir3":
             wide = wide_of_leaf[leaf_of_tri[tri]].astype(jnp.uint32)
             return (wide << jnp.uint32(9)) | dir3_bits(d)
+        if kind == "leaf+dir4":
+            dn = (d + 1.0) * 0.5
+            return (leaf << jnp.uint32(12)) | xla_traverse._morton3_bits(dn * 16.0, 4)
+        if kind == "tri+dir3":
+            return (tri.astype(jnp.uint32) << jnp.uint32(9)) | dir3_bits(d)
         raise KeyError(kind)
 
-    for kind in ("octant", "leaf+oct", "leaf+dir3", "wide+dir3"):
+    for kind in ("leaf+dir4", "tri+dir3"):
         def run(packed, o, d, tri):
             order = jnp.argsort(keys_for(kind, o, d, tri))
             return pt.traverse_packed(bvh, packed, o[order], d[order])

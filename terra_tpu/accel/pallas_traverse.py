@@ -1106,7 +1106,8 @@ def traverse_packed(bvh, packed, o, d, mode=None, **kw):
 
 def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
             packed=None, algo: str = "mt", sort_mode: str = "octant",
-            t_max=None, any_hit: bool = False, packet_shape=None) -> RayHit:
+            t_max=None, any_hit: bool = False, packet_shape=None,
+            sort_hint=None, leaf_of_tri=None) -> RayHit:
     """Closest-hit via the Pallas ordered-stack packet traversal.
 
     ``packed``: optional (boxes, links, tris) from :func:`pack_tables` to
@@ -1126,7 +1127,8 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     bvh = scene.bvh
     if not fits_smem(bvh) and not interpret:
         return xla_traverse.raycast(scene, o, d, sort_rays=sort_rays, algo=algo,
-                                    t_max=t_max)
+                                    t_max=t_max, sort_hint=sort_hint,
+                                    leaf_of_tri=leaf_of_tri)
     mode = wide_mode(bvh)
     tri_a, tri_b, tri_c = scene.geometry.corners()
     if packed is None:
@@ -1146,8 +1148,13 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     order = None
     if sort_rays and n > PACKET:
         root = 0 if bvh.num_internal > 0 else bvh.num_internal
-        keys = xla_traverse._sort_keys(o, d, bvh.node_min[root], bvh.node_max[root],
-                                       mode=sort_mode, bvh=bvh)
+        if sort_hint is not None and leaf_of_tri is not None:
+            # parent-hit hierarchy keys (xla_traverse.hinted_keys: measured
+            # 6.0 -> 8.2 Mrays/s on realistic bounce batches)
+            keys = xla_traverse.hinted_keys(leaf_of_tri, sort_hint, d)
+        else:
+            keys = xla_traverse._sort_keys(o, d, bvh.node_min[root], bvh.node_max[root],
+                                           mode=sort_mode, bvh=bvh)
         order = jnp.argsort(keys)
         o = o[order]
         d = d[order]

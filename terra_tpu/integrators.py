@@ -124,7 +124,10 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     t_light = math3.length(ls.pos - o_sh) * SHADOW_TMAX_SCALE
     # any_hit: occlusion needs only the boolean, and an any-hit walk lets
     # occluded lanes stop dilating the packet union (kernel early-out).
-    occ = raycast(o_sh, d_sh, t_max=t_light, any_hit=True)
+    # sort_hint: shadow rays leave the current hit surface — the parent-hit
+    # coherence key applies exactly as it does to extension rays.
+    occ = raycast(o_sh, d_sh, t_max=t_light, any_hit=True,
+                  sort_hint=ctx.get("hit_tri"))
     visible = ~occ.hit
 
     cos_l = math3.dot(ls.normal, -wi)  # cos at the light (Terra.c:1411)
@@ -174,7 +177,8 @@ def _nee_env_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
 
     nol = math3.dot(wi, surf.normal)
     o_sh, d_sh = _shadow_ray(surf, wi, ctx)
-    hit = raycast(o_sh, d_sh, any_hit=True)  # escape test: boolean only
+    # escape test: boolean only
+    hit = raycast(o_sh, d_sh, any_hit=True, sort_hint=ctx.get("hit_tri"))
     visible = (~hit.hit) & (nol > 0.0) & (env_pdf > 0.0)
     visible = _skip_delta(ctx, visible)
 
@@ -228,7 +232,7 @@ def _mis_bsdf_strategy(ctx, surf: Surface, wo, bounce, ls):
     bsdf_pdf = bsdf.pdf(surf, wi, wo, aux, ctx["present"])
 
     o_sh, d_sh = _shadow_ray(surf, wi, ctx)
-    hit = raycast(o_sh, d_sh)
+    hit = raycast(o_sh, d_sh, sort_hint=ctx.get("hit_tri"))
     hit_surf = surface_init(scene, ctx["tables"], o_sh + d_sh * np.float32(1e-3), d_sh, hit.tri)
 
     # Reference acceptance (Terra.c:1543): the hit object must be the light

@@ -57,11 +57,16 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
     if opts.accelerator == Accelerator.BVH and scene.bvh is not None:
         from .accel import pallas_traverse, traverse as bvh_traverse
 
-        # Pallas ordered-stack kernel on TPU when the node table fits SMEM
-        # (triangles stay in HBM and are DMA'd per leaf, so the tri count
-        # is unbounded); XLA packet walk otherwise (and on CPU test meshes).
-        # Both intersectors run inside the kernel (the leaf test shares the
-        # component kernels with intersect.py).
+        # Parent-hit coherence keys: the wavefront passes each raycast the
+        # previous hit's triangle ids (sort_hint); rays leaving the same
+        # BVH leaf sort together (measured 6.0 -> 8.2 Mrays/s on realistic
+        # bounce batches, scripts/bounce_sort_probe.py).
+        leaf_of = bvh_traverse.leaf_of_tri_table(scene.bvh)
+
+        # Pallas ordered-stack kernel on TPU (node tables SMEM-resident or
+        # paged from HBM, so the scene size is unbounded); XLA packet walk
+        # on CPU test meshes. Both intersectors run inside the kernel (the
+        # leaf test shares the component kernels with intersect.py).
         use_pallas = (
             jax.default_backend() not in ("cpu",)
             and pallas_traverse.supported(scene.bvh)
@@ -71,24 +76,27 @@ def make_raycast_fn(scene: Scene, opts: RenderOptions):
                 scene.bvh, *scene.geometry.corners()
             )
 
-            def raycast(o, d, t_max=None, any_hit=False):
+            def raycast(o, d, t_max=None, any_hit=False, sort_hint=None):
                 o = o + d * intersect.RAY_OFFSET_DIR
                 return pallas_traverse.raycast(scene, o, d, packed=packed,
                                                algo=algo, t_max=t_max,
-                                               any_hit=any_hit)
+                                               any_hit=any_hit,
+                                               sort_hint=sort_hint,
+                                               leaf_of_tri=leaf_of)
 
             return raycast
 
-        def raycast(o, d, t_max=None, any_hit=False):
+        def raycast(o, d, t_max=None, any_hit=False, sort_hint=None):
             o = o + d * intersect.RAY_OFFSET_DIR
             return bvh_traverse.raycast(scene, o, d, algo=algo, t_max=t_max,
-                                        any_hit=any_hit)
+                                        any_hit=any_hit, sort_hint=sort_hint,
+                                        leaf_of_tri=leaf_of)
 
         return raycast
 
     tri_a, tri_b, tri_c = scene.geometry.corners()
 
-    def raycast(o, d, t_max=None, any_hit=False):
+    def raycast(o, d, t_max=None, any_hit=False, sort_hint=None):
         o = o + d * intersect.RAY_OFFSET_DIR
         h = intersect.raycast_brute(o, d, tri_a, tri_b, tri_c, algo=algo)
         if t_max is None:
@@ -187,11 +195,15 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
     )
     if has_delta:
         init["emit_ok"] = jnp.ones((n,), bool)
+    # parent-hit sort hint: -1 = no parent (bounce 0 / dead lanes); rays
+    # leaving the same BVH leaf sort into the same packets
+    init["prev_tri"] = jnp.full((n,), -1, jnp.int32)
 
     def bounce_body(carry, bounce):
         o, d = carry["o"], carry["d"]
         throughput, Lo, active = carry["throughput"], carry["Lo"], carry["active"]
         emit_ok = carry.get("emit_ok")
+        prev_tri = carry["prev_tri"]
 
         # One threefry launch covers every stream this bounce will draw.
         u = rng_mod.path_uniform_bundle(key, pixel_idx, sample_idx, bounce, streams)
@@ -199,7 +211,8 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
         def rng(_bounce, stream):
             return u[stream]
 
-        hit = raycast(*_mask_dead_rays(active, o, d))
+        hit = raycast(*_mask_dead_rays(active, o, d),
+                      sort_hint=jnp.where(active, prev_tri, -1))
         o_off = o + d * intersect.RAY_OFFSET_DIR
         surf = surface_init(scene, tables, o_off, d, hit.tri)
         wo = -d
@@ -226,6 +239,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             light_area=opts.light_pick == LightPick.AREA,
             active=active,
             emit_ok=emit_ok, delta=bsdf.delta_mask(surf, present),
+            hit_tri=jnp.where(active, hit.tri, -1),
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         Lo = Lo + jnp.where(active[..., None], radiance, 0.0)
@@ -260,6 +274,7 @@ def trace(scene: Scene, opts: RenderOptions, key, o, d, pixel_idx, sample_idx):
             throughput=jnp.where(active[..., None], new_tp, throughput),
             Lo=Lo,
             active=active,
+            prev_tri=jnp.where(active, hit.tri, -1),
         )
         if has_delta:  # next bounce may pick up emissive after a delta lobe
             carry["emit_ok"] = ctx["delta"]
@@ -323,6 +338,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
     )
     if has_delta:  # specular-bounce flag (see trace); True at path starts
         init["emit_ok"] = jnp.ones((n,), bool)
+    init["prev_tri"] = jnp.full((n,), -1, jnp.int32)  # parent-hit sort hint
     max_iters = quota * (opts.bounces + 1)
 
     def cond(st):
@@ -339,7 +355,8 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
         def rng(_bounce, stream):
             return u[stream]
 
-        hit = raycast(*_mask_dead_rays(active, o, d))
+        hit = raycast(*_mask_dead_rays(active, o, d),
+                      sort_hint=jnp.where(active, st["prev_tri"], -1))
         o_off = o + d * intersect.RAY_OFFSET_DIR
         surf = surface_init(scene, tables, o_off, d, hit.tri)
         wo = -d
@@ -362,6 +379,7 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
             light_area=opts.light_pick == LightPick.AREA,
             active=alive,
             emit_ok=emit_ok, delta=bsdf.delta_mask(surf, present),
+            hit_tri=jnp.where(alive, hit.tri, -1),
         )
         radiance = integrator(ctx, surf, wo, throughput, bounce)
         lo_sample = lo_sample + jnp.where(alive[..., None], radiance, 0.0)
@@ -408,6 +426,10 @@ def trace_persistent(scene: Scene, opts: RenderOptions, cam: Camera, key,
             finished=finished,
             iters=st["iters"] + 1,
         )
+        # regenerated camera paths have no parent; continuations carry
+        # their hit's triangle as the next raycast's coherence hint
+        out["prev_tri"] = jnp.where(regen, -1,
+                                    jnp.where(survive, hit.tri, st["prev_tri"]))
         if has_delta:  # fresh paths start True; continuations carry delta
             out["emit_ok"] = jnp.where(regen, True, ctx["delta"])
         return out
