@@ -27,9 +27,9 @@ def main():
     k0, k1 = rng_mod.key_from_seed(0)
     key = jnp.array([k0, k1], jnp.uint32)
     cases = [
+        ("ggx+direct", tt.BSDFType.GGX, tt.Integrator.DIRECT, 1),
+        ("ggx+simple", tt.BSDFType.GGX, tt.Integrator.SIMPLE, 0),
         ("ggx+mis", tt.BSDFType.GGX, tt.Integrator.DIRECT_MIS, 2),
-        ("diffuse+mis", tt.BSDFType.DIFFUSE, tt.Integrator.DIRECT_MIS, 2),
-        ("diffuse+simple", tt.BSDFType.DIFFUSE, tt.Integrator.SIMPLE, 0),
     ]
     for label, wall, integ, shadow in cases:
         scene = tt.scenes.cornell_box(accelerator=tt.Accelerator.BRUTE,

@@ -79,20 +79,21 @@ def main():
     full_dt = timed(launch, reps=3, label=f"full launch (512^2 spp{args.spl})")
     print(f"  -> {full_dt*1e3/args.spl:.2f} ms/spp")
 
-    pixel_idx, px, py, sample_idx = render_mod._lane_ids(opts, args.spl // args.quota, 0)
-    lane_base = (sample_idx - 0) * args.quota
+    quota = min(args.quota, args.spl)
+    pixel_idx, px, py, sample_idx = render_mod._lane_ids(opts, args.spl // quota, 0)
+    lane_base = (sample_idx - 0) * quota
 
     @jax.jit
     def persistent_iters():
         lo, iters = render_mod.trace_persistent(
-            scene, opts, cam, key, pixel_idx, px, py, lane_base, args.quota,
+            scene, opts, cam, key, pixel_idx, px, py, lane_base, quota,
             return_iters=True)
         return iters
 
     it = int(persistent_iters())
-    max_it = args.quota * (opts.bounces + 1)
+    max_it = quota * (opts.bounces + 1)
     print(f"  while-loop iterations: {it} (cap {max_it}) -> "
-          f"{full_dt*1e3/it:.2f} ms/iter")
+          f"{full_dt*1e3/max(it,1):.2f} ms/iter")
 
     # --- components at the launch's lane count
     rng = np.random.default_rng(0)

@@ -109,7 +109,8 @@ def _nee_light_strategy(ctx, surf: Surface, wo, bounce, want_weight: bool, aux):
     e1 = rng(bounce, S.LIGHT_U)
     e2 = rng(bounce, S.LIGHT_V)
     ls = lights.pick_and_sample(
-        scene, e_pick, e1, e2, area_weighted=ctx.get("light_area", False)
+        scene, e_pick, e1, e2, area_weighted=ctx.get("light_area", False),
+        table=ctx["tables"].light,
     )
 
     p_to_light = ls.pos - surf.point

@@ -37,20 +37,28 @@ ONEHOT_MAX_ROWS = 512
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tri", "mat"],
+    data_fields=["tri", "mat", "light"],
     meta_fields=[],
 )
 @dataclass
 class ShadeTables:
-    """Packed per-triangle + per-material tables (built once per trace).
+    """Packed per-triangle + per-material + per-light tables (built once
+    per trace).
 
     tri : (T, 26) f32 — va(0:3) vb(3:6) vc(6:9) n0(9:12) n1(12:15)
           n2(15:18) uv0(18:20) uv1(20:22) uv2(22:24) mat_id(24) obj_id(25)
     mat : (M, 29) f32 — bsdf_type(0) ior(1) emissive(2:5) attrs(5:29)
+    light : (Lcap, 30) f32 — a(0:3) b(3:6) c(6:9) n0(9:12) n1(12:15)
+          n2(15:18) uv0(18:20) uv1(20:22) uv2(22:24) area(24)
+          emissive(25:28) tri_idx(28) emissive_tex(29). One fetch_rows per
+          NEE sample replaces ~8 per-lane chained gathers — the same
+          lesson as the tri/mat tables (chained gathers measured
+          ~100 ms/M lanes; this was the dominant config-2 cost).
     """
 
     tri: jax.Array
     mat: jax.Array
+    light: jax.Array
 
 
 def build_shade_tables(scene: Scene) -> ShadeTables:
@@ -80,7 +88,31 @@ def build_shade_tables(scene: Scene) -> ShadeTables:
         ],
         axis=1,
     )
-    return ShadeTables(tri=tri, mat=mat)
+    # Light-sample table: gathers over the (small, static-capacity) light
+    # list happen ONCE here instead of per lane per bounce in NEE.
+    lt = scene.lights
+    lti = lt.tri_idx
+    la = va[lti]
+    lb = vb[lti]
+    lc = vc[lti]
+    ln = n[lti]      # (Lcap, 3, 3)
+    luv = uv[lti]    # (Lcap, 3, 2)
+    # same ops as the gather path computed per lane (bit-identical goldens)
+    area = 0.5 * math3.length(math3.cross(lb - la, lc - la))
+    etid = mats.emissive_tex[lt.mat_id].astype(jnp.float32)
+    light = jnp.concatenate(
+        [
+            la, lb, lc,
+            ln[:, 0, :], ln[:, 1, :], ln[:, 2, :],
+            luv[:, 0, :], luv[:, 1, :], luv[:, 2, :],
+            area[:, None],
+            lt.emissive,
+            lti.astype(jnp.float32)[:, None],
+            etid[:, None],
+        ],
+        axis=1,
+    )
+    return ShadeTables(tri=tri, mat=mat, light=light)
 
 
 def fetch_rows(table, idx):
