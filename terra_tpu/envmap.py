@@ -113,6 +113,10 @@ def pdf(dist: distributions.Distribution2D, wi):
     col = jnp.clip((u * GRID_W).astype(jnp.int32), 0, GRID_W - 1)
     row = jnp.clip((v * GRID_H).astype(jnp.int32), 0, GRID_H - 1)
     total = jnp.maximum(dist.marginal.integral, np.float32(1e-20))
-    density_uv = dist.conditionals.f[row, col] * np.float32(GRID_W * GRID_H) / total
+    # two-stage one-hot fetch (row matmul + column multiply-reduce): the
+    # flat (N,) gather into the 8k-entry grid measured 6.4 ms per 262k
+    # lanes; the one-hot form rides the MXU like distributions.sample_2d
+    f_at = distributions._oh_at(distributions._oh_pick(dist.conditionals.f, row), col)
+    density_uv = f_at * np.float32(GRID_W * GRID_H) / total
     sin_t = jnp.maximum(jnp.sin(theta), np.float32(1e-6))
     return density_uv / (TWO_PI2 * sin_t)

@@ -59,17 +59,51 @@ def build_1d(f) -> Distribution1D:
     return Distribution1D(f=f, cdf=c / safe[..., None], integral=integral)
 
 
+# Max table rows for the one-hot matmul fetch (the same MXU trick as
+# surface.fetch_rows): per-lane gathers from small tables cost ~50 ms/M
+# lanes each on TPU, a one-hot dot is ~free. Exact: one nonzero term per
+# dot row, so sums add zeros and copy the value bit-for-bit.
+_ONEHOT_MAX = 512
+
+
+def _oh_pick(table, idx):
+    """table[idx] for (N,) idx via one-hot matmul when the table is small.
+    table: (n,) or (n, k); returns (N,) or (N, k)."""
+    n = table.shape[0]
+    if n > _ONEHOT_MAX:
+        return table[idx]
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+    t = table if table.ndim == 2 else table[:, None]
+    out = jnp.dot(oh, t, preferred_element_type=jnp.float32)
+    return out if table.ndim == 2 else out[..., 0]
+
+
+def _oh_at(rows, idx):
+    """rows[lane, idx[lane]] for (N, n) rows via one-hot multiply-reduce
+    (minor-dim take_along_axis is a per-lane gather on TPU)."""
+    n = rows.shape[-1]
+    if n > _ONEHOT_MAX:
+        return jnp.take_along_axis(rows, idx[..., None], -1)[..., 0]
+    oh = jax.nn.one_hot(idx, n, dtype=rows.dtype)
+    return jnp.sum(rows * oh, axis=-1)
+
+
 def sample_1d(dist: Distribution1D, e):
     """Inverse-CDF with in-bucket interpolation (terra_distribution_1d_sample,
     Terra.c:781-809). Returns (x in [0,1), pdf, idx)."""
     n = dist.cdf.shape[-1]
     idx = jnp.clip(jnp.searchsorted(dist.cdf, e, side="right"), 0, n - 1)
-    prev = jnp.where(idx > 0, dist.cdf[idx - 1], 0.0)
-    curr = dist.cdf[idx]
+    picked = _oh_pick(
+        jnp.stack([dist.cdf, jnp.concatenate([jnp.zeros((1,), dist.cdf.dtype),
+                                              dist.cdf[:-1]]),
+                   dist.f], axis=1),
+        idx,
+    )
+    curr, prev, f_at = picked[..., 0], picked[..., 1], picked[..., 2]
     denom = jnp.maximum(curr - prev, 1e-12)
     frac = (e - prev) / denom
     x = (idx.astype(jnp.float32) + frac) / n
-    pdf = dist.f[idx] / jnp.maximum(dist.integral, 1e-20)
+    pdf = f_at / jnp.maximum(dist.integral, 1e-20)
     return x, pdf, idx
 
 
@@ -82,18 +116,23 @@ def build_2d(f) -> Distribution2D:
 
 def sample_2d(dist: Distribution2D, e1, e2):
     """terra_distribution_2d_sample (Terra.c:835-846). Returns
-    ((u, v), pdf) with u along x, v along y, both in [0,1)."""
+    ((u, v), pdf) with u along x, v along y, both in [0,1).
+
+    Row/bucket fetches go through one-hot matmuls (see _oh_pick): the
+    per-lane row-gather + take_along_axis form measured 13.6 ms per 262k
+    lanes on the v5e — the same chained-gather disease as the round-4
+    light-table fix, and bit-identical to this form."""
     v, pdf_y, row = sample_1d(dist.marginal, e1)
-    cdf = dist.conditionals.cdf[row]  # (..., nx) per-lane row gather
-    fr = dist.conditionals.f[row]
-    integ = dist.conditionals.integral[row]
+    cdf = _oh_pick(dist.conditionals.cdf, row)       # (N, nx)
+    fr = _oh_pick(dist.conditionals.f, row)
+    integ = _oh_pick(dist.conditionals.integral, row)
     n = cdf.shape[-1]
     idx = jnp.clip(
         jnp.sum((cdf < e2[..., None]).astype(jnp.int32), axis=-1), 0, n - 1
     )
-    prev = jnp.where(idx > 0, jnp.take_along_axis(cdf, jnp.maximum(idx - 1, 0)[..., None], -1)[..., 0], 0.0)
-    curr = jnp.take_along_axis(cdf, idx[..., None], -1)[..., 0]
+    prev = jnp.where(idx > 0, _oh_at(cdf, jnp.maximum(idx - 1, 0)), 0.0)
+    curr = _oh_at(cdf, idx)
     frac = (e2 - prev) / jnp.maximum(curr - prev, 1e-12)
     u = (idx.astype(jnp.float32) + frac) / n
-    pdf_x = jnp.take_along_axis(fr, idx[..., None], -1)[..., 0] / jnp.maximum(integ, 1e-20)
+    pdf_x = _oh_at(fr, idx) / jnp.maximum(integ, 1e-20)
     return (u, v), pdf_y * pdf_x
