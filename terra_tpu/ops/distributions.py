@@ -74,7 +74,10 @@ def _oh_pick(table, idx):
         return table[idx]
     oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
     t = table if table.ndim == 2 else table[:, None]
-    out = jnp.dot(oh, t, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: TPU's default bf16 matmul would quantize the
+    # fetched values (see surface.fetch_rows — the round-4 latent-bug fix)
+    out = jnp.dot(oh, t, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return out if table.ndim == 2 else out[..., 0]
 
 

@@ -121,7 +121,15 @@ def fetch_rows(table, idx):
     rows = table.shape[0]
     if rows <= ONEHOT_MAX_ROWS:
         oh = jax.nn.one_hot(idx, rows, dtype=table.dtype)
-        return jnp.dot(oh, table, preferred_element_type=jnp.float32)
+        # precision=HIGHEST: the TPU default matmul precision is bf16,
+        # which silently QUANTIZED every fetched table value (vertex
+        # coords off by ~2 units at Cornell scale) — a latent r1-r4 bug
+        # caught by the round-4 compiled-render smoke gate
+        # (tests/test_tpu_smoke.py; CPU goldens never saw it because XLA
+        # CPU matmuls are full f32). One-hot products are exact at any
+        # precision; the table operand's mantissa was the casualty.
+        return jnp.dot(oh, table, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return table[idx]
 
 

@@ -11,11 +11,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 # Force the CPU backend (override even if the site config registered a TPU
 # platform at interpreter start): the suite needs the 8-device virtual mesh.
-# Set TERRA_TEST_PLATFORM to run the suite on real hardware instead.
+# Set TERRA_TEST_PLATFORM=tpu to run on the real accelerator instead (the
+# device may register under a platform name other than "tpu" — e.g. the
+# relay here registers "axon" — so "tpu" means "leave the site default").
 _platform = os.environ.get("TERRA_TEST_PLATFORM", "cpu")
-os.environ["JAX_PLATFORMS"] = _platform
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", _platform)
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = _platform
+    jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_threefry_partitionable", True)

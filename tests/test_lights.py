@@ -102,3 +102,33 @@ def test_area_pick_golden_vs_mirror():
     rel = np.abs(img_jax - img_np) / np.maximum(np.abs(img_np), 1e-2)
     assert (rel > 2e-3).mean() < 1e-2
     assert abs(img_jax.mean() - img_np.mean()) / max(img_np.mean(), 1e-6) < 5e-3
+
+
+def test_pick_and_sample_table_matches_gather_path():
+    """The packed light-row table (surface.build_shade_tables.light; the
+    round-4 config-2 fix) must produce BIT-IDENTICAL samples to the
+    chained-gather fallback for both pick strategies."""
+    import jax.numpy as jnp
+
+    from terra_tpu import lights as lights_mod
+    from terra_tpu.surface import build_shade_tables
+
+    scene = _two_light_scene()
+    tables = build_shade_tables(scene)
+    rng = np.random.default_rng(8)
+    n = 4096
+    e_pick = jnp.asarray(rng.random(n, np.float32))
+    e1 = jnp.asarray(rng.random(n, np.float32))
+    e2 = jnp.asarray(rng.random(n, np.float32))
+    for area_weighted in (False, True):
+        a = lights_mod.pick_and_sample(scene, e_pick, e1, e2,
+                                       area_weighted=area_weighted)
+        b = lights_mod.pick_and_sample(scene, e_pick, e1, e2,
+                                       area_weighted=area_weighted,
+                                       table=tables.light)
+        for field in ("tri_idx", "pos", "normal", "uv", "area",
+                      "pick_pdf", "area_pdf", "emissive"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+                err_msg=f"{field} (area_weighted={area_weighted})",
+            )
