@@ -540,8 +540,9 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         capm = jnp.int32(8 * ways * (ni + num_leaves) + 64 * ways)
 
         def paged_dma(slot, p):
-            """Copy paged node ``p``'s 25-row block into VMEM scratch slot
-            ``slot`` (the proven in-loop HBM->VMEM leaf-DMA pattern)."""
+            """Copy paged node ``p``'s PAGED_NODE_ROWS(=28)-row block into
+            VMEM scratch slot ``slot`` (the proven in-loop HBM->VMEM
+            leaf-DMA pattern)."""
             return pltpu.make_async_copy(
                 prows_ref.at[pl.ds(p * PAGED_NODE_ROWS, PAGED_NODE_ROWS)],
                 pg_scratch.at[slot],
@@ -555,6 +556,12 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             steps = state[-1]
             pops = [pop_half_paged(w, sps[w], qns[w], pqns[w])
                     for w in range(ways)]
+            cnt = ()
+            if count_steps:
+                c = state[3 * ways]
+                for p in pops:
+                    c = c + p[0].astype(jnp.int32)
+                cnt = (c,)
             cs = 3 if box_enc == "bf16" else 6  # resident words per child box
             ents = [
                 tuple(entry_at(4 * cs * p[4] + cs * c, HS[w]) for c in range(4))
@@ -566,7 +573,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 for w in range(ways)
             )
             return (new_sps + tuple(p[5] for p in pops)
-                    + tuple(p[6] for p in pops) + (steps + 1,))
+                    + tuple(p[6] for p in pops) + cnt + (steps + 1,))
 
         def fill_cond_paged(state):
             sps = state[:ways]
@@ -587,12 +594,21 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             flight), then dense-test the staged leaves."""
             sps, steps = list(state[:ways]), state[-1]
             zero = tuple(jnp.int32(0) for _ in range(2 * ways))
+            cnt0 = (state[ways],) if count_steps else ()
             st = jax.lax.while_loop(fill_cond_paged, fill_pair_paged,
-                                    tuple(sps) + zero + (steps,))
+                                    tuple(sps) + zero + cnt0 + (steps,))
             sps = list(st[:ways])
             qns = st[ways:2 * ways]
             pqns = st[2 * ways:3 * ways]
             steps = st[-1]
+            cnt_out = ()
+            if count_steps:
+                lv, pv = state[ways + 1], state[ways + 2]
+                for q in qns:
+                    lv = lv + q
+                for q in pqns:
+                    pv = pv + q
+                cnt_out = (st[3 * ways], lv, pv)
             pids = []
             for j in range(ways * npq):
                 h, jj = divmod(j, npq)
@@ -631,11 +647,21 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 def _(j=j, h=h):
                     _dense_rows(j, HS[h])
 
-            return tuple(sps) + (steps,)
+            return tuple(sps) + cnt_out + (steps,)
 
         def fill_pair(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
             pops = [pop_half(w, sps[w], qns[w]) for w in range(ways)]
+            # do-gated pop counter (decomposition instrumentation): lets the
+            # probe separate fill ITERATIONS (lockstep, max over ways) from
+            # useful POPS (sum over ways) — their ratio is the interleave
+            # utilization.
+            cnt = ()
+            if count_steps:
+                c = state[2 * ways]
+                for p in pops:
+                    c = c + p[0].astype(jnp.int32)
+                cnt = (c,)
             # all vector tests traced before any reduction consumer
             if arity == 2:
                 els = [child_entry(p[3][0], HS[w]) for w, p in enumerate(pops)]
@@ -657,7 +683,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     for w in range(ways)
                 )
             new_qns = tuple(p[5] for p in pops)
-            return new_sps + new_qns + (steps + 1,)
+            return new_sps + new_qns + cnt + (steps + 1,)
 
         def fill_cond(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
@@ -669,8 +695,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         def round_body(state):
             sps, steps = state[:ways], state[-1]
             zero = tuple(jnp.int32(0) for _ in range(ways))
-            st = jax.lax.while_loop(fill_cond, fill_pair, sps + zero + (steps,))
+            cnt0 = (state[ways],) if count_steps else ()
+            st = jax.lax.while_loop(fill_cond, fill_pair,
+                                    tuple(sps) + zero + cnt0 + (steps,))
             sps, qns, steps = st[:ways], st[ways:2 * ways], st[-1]
+            cnt_out = ()
+            if count_steps:
+                lv = state[ways + 1]
+                for q in qns:
+                    lv = lv + q
+                cnt_out = (st[2 * ways], lv)
             qids = []
             for j in range(ways * nq):
                 h, jj = divmod(j, nq)
@@ -685,7 +719,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 def _(j=j, h=h):
                     _dense_rows(j, HS[h])
 
-            return sps + (steps,)
+            return tuple(sps) + cnt_out + (steps,)
 
         for w in range(ways):
             stack_ref[w, 0] = jnp.int32(0)
@@ -696,12 +730,30 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 alive = alive | (st[w] > 0)
             return alive & (st[-1] < capm)
 
+        # counters (count_steps only): pops, leaf visits[, paged visits]
+        n_cnt = (3 if paged else 2) if count_steps else 0
         st = jax.lax.while_loop(
             outer_cond, round_body_paged if paged else round_body,
-            tuple(jnp.int32(1) for _ in range(ways)) + (jnp.int32(0),),
+            tuple(jnp.int32(1) for _ in range(ways))
+            + tuple(jnp.int32(0) for _ in range(n_cnt))
+            + (jnp.int32(0),),
         )
         if steps_ref is not None:
-            steps_ref[...] = jnp.full_like(best_i_ref[...], st[-1])
+            if count_steps and n_cnt:
+                # lane-packed decomposition counters (see count_decode):
+                # lanes [0,32) fill iterations, [32,64) useful pops,
+                # [64,96) leaf visits, [96,128) paged-node visits
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, best_i_ref.shape, 1)
+                popsv = st[ways]
+                leavesv = st[ways + 1]
+                pgv = st[ways + 2] if paged else jnp.int32(0)
+                steps_ref[...] = jnp.where(
+                    lane < 32, st[-1],
+                    jnp.where(lane < 64, popsv,
+                              jnp.where(lane < 96, leavesv, pgv)))
+            else:
+                steps_ref[...] = jnp.full_like(best_i_ref[...], st[-1])
 
     if (ways > 1 or arity == 4) and ni > 0:
         if paged:
@@ -749,6 +801,11 @@ def pack_tables(bvh, tri_a, tri_b, tri_c):
 
 
 def _pack_tris(bvh, tri_a, tri_b, tri_c):
+    # Triangle ids ride f32 through the kernel's min-reduction: exact only
+    # below 2^24. Paged mode has no scene-size cliff, so guard loudly here
+    # instead of returning silently corrupted hit ids on giant scenes.
+    assert tri_a.shape[0] < (1 << 24), (
+        f"{tri_a.shape[0]} tris exceed f32-exact hit ids (2^24)")
     leaf_flat = bvh.leaf_tri.reshape(-1)
     a = tri_a[leaf_flat]
     b = tri_b[leaf_flat]
@@ -1082,6 +1139,19 @@ def supported(bvh) -> bool:
     (per-leaf DMA), so the tri count is unbounded. ``scene.commit`` scales
     the leaf size so Sponza-class scenes stay under the node budget."""
     return fits_smem(bvh)
+
+
+def count_decode(steps_flat, packet_rows: int):
+    """Decode the lane-packed decomposition counters of a
+    ``count_steps=True`` multi-way run into per-grid-step arrays:
+    {iters, pops, leaves, paged}. ``iters`` = lockstep fill iterations
+    (the serial scalar-loop length), ``pops`` = do-gated useful pops
+    summed over ways (pops / (iters*ways) = interleave utilization),
+    ``leaves`` = dense leaf tests run, ``paged`` = paged-node DMA visits."""
+    a = np.asarray(steps_flat).reshape(-1, 128)
+    g = a[::packet_rows]
+    return {"iters": g[:, 0], "pops": g[:, 32],
+            "leaves": g[:, 64], "paged": g[:, 96]}
 
 
 def traverse_packed(bvh, packed, o, d, mode=None, **kw):

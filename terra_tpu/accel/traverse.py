@@ -215,9 +215,14 @@ def hinted_keys(leaf_of_tri, sort_hint, d):
     hierarchy-aligned rather than merely spatially close. ``sort_hint`` is
     the parent-hit triangle id per ray, or -1 for lanes with no parent
     (dead/masked lanes group together at the key-space top)."""
+    # Sort-quality-only key: clamp real leaf ids below the dead-lane
+    # sentinel (0x3FFFFF) so giant paged trees (leaf ids >= 2^23 would
+    # overflow the uint32 shift, and id 0x3FFFFF would collide with the
+    # sentinel) still produce valid, collision-free keys.
     leaf = jnp.where(
         sort_hint >= 0,
-        leaf_of_tri[jnp.maximum(sort_hint, 0)].astype(jnp.uint32),
+        jnp.minimum(leaf_of_tri[jnp.maximum(sort_hint, 0)].astype(jnp.uint32),
+                    jnp.uint32(0x3FFFFE)),
         jnp.uint32(0x3FFFFF),
     )
     dn = (d + 1.0) * 0.5

@@ -63,6 +63,10 @@ class ShadeTables:
 
 def build_shade_tables(scene: Scene) -> ShadeTables:
     geom = scene.geometry
+    # Tri/mat ids ride f32 in packed rows (exact only below 2^24); fail at
+    # table-build time rather than corrupting shading on giant scenes.
+    assert geom.tri_vidx.shape[0] < (1 << 24), (
+        f"{geom.tri_vidx.shape[0]} tris exceed f32-exact table ids (2^24)")
     va, vb, vc = geom.corners()
     n = geom.normals  # (T, 3, 3)
     uv = geom.uvs  # (T, 3, 2)

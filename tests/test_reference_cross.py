@@ -10,9 +10,17 @@ is the one test that can catch a formula misread shared by the renderer
 AND its NumPy mirror (the golden tests validate port-consistency, not
 ground truth).
 
-Noise calibration is self-measuring: the TPU-port renderer runs twice with
-independent seeds, and the block-mean spread between those two runs sets
-the scale against which the reference deviation is judged.
+Noise calibration is self-measuring FROM BOTH SIDES (round-5 fix; the
+round-4 one-sided version was flaky): the compiled reference is
+NONDETERMINISTIC even under a fixed harness seed — terra_sampler_random_init
+seeds the pixel-jitter PCG from ``time(NULL) ^ &exit`` (Terra.c:679), which
+the harness's srand (reference_cross/main.c:53) cannot reach; measured
+ref-vs-ref block RMS on identical arguments was 0.0029-0.0067 across runs.
+So the reference runs K times with K different srand seeds (fully
+independent MC estimates: jitter varies by time/ASLR, the integrator's
+rand() stream by the seed), the comparison is against the MEAN of the K
+runs, and the bound combines both measured variances:
+``rms_cross < c * sqrt(var_ref/K + var_ours/2) + eps``.
 """
 import os
 import shutil
@@ -145,32 +153,52 @@ def test_reference_cross_validation(ref_binary, tmp_path, scene_kw, integrator,
     scene_txt = str(tmp_path / "scene.txt")
     _dump_scene(scene, cam, scene_txt)
 
-    out_txt = str(tmp_path / "ref.txt")
-    subprocess.run(
-        [ref_binary, scene_txt, out_txt, str(W), str(H), str(spp),
-         str(BOUNCES), str(ref_integrator), "1234", "0.5"],
-        check=True, capture_output=True, timeout=1200,
-    )
-    ref = np.loadtxt(out_txt, dtype=np.float64).reshape(H, W, 3)
+    # K independent reference estimates (distinct srand seeds; the jitter
+    # PCG self-varies per process, Terra.c:679 — see module docstring)
+    K = 4
+    refs = []
+    for k in range(K):
+        out_txt = str(tmp_path / f"ref{k}.txt")
+        subprocess.run(
+            [ref_binary, scene_txt, out_txt, str(W), str(H), str(spp),
+             str(BOUNCES), str(ref_integrator), str(1234 + 7919 * k), "0.5"],
+            check=True, capture_output=True, timeout=1200,
+        )
+        refs.append(np.loadtxt(out_txt, dtype=np.float64).reshape(H, W, 3))
 
     ours_a = _render_ours(scene, cam, seed=101, integrator=integrator, spp=spp)
     ours_b = _render_ours(scene, cam, seed=707, integrator=integrator, spp=spp)
 
-    rb = _block_means(ref)
+    rbs = np.stack([_block_means(r) for r in refs])  # (K, Hb, Wb, 3)
+    rb = rbs.mean(axis=0)
     oa = _block_means(ours_a)
     ob = _block_means(ours_b)
 
-    # Self-calibrated Monte-Carlo noise scale: two independent runs of OUR
-    # renderer differ by sqrt(2)*sigma per block; the cross difference
-    # |ref - mean(ours)| has expected scale sqrt(1.5)*sigma (same spp both
-    # sides). A systematic formula error (a missing cos, a pi, a pdf factor)
-    # shifts whole regions by >> these bounds.
-    d_self = oa - ob
+    # Two-sided, PER-BLOCK noise calibration. The image is strongly
+    # heteroscedastic (the emissive-light blocks' MC sigma measured ~35x
+    # the image mean sigma), so a global noise scale misjudges both the
+    # bright and the dim blocks. Per block-channel: Var(ref run) across
+    # the K runs (ddof=1, 3 dof), Var(our run) from the two-seed
+    # difference (Var(oa-ob) = 2*var_ours, 1 dof). Both estimates are
+    # noisy at those dof, so each is regularized by adding the image-mean
+    # variance of its own side (shrinkage toward the global scale — a
+    # 1-dof var_ours that lands near 0 by chance cannot blow up z). The
+    # cross deviation d = mean_K(ref) - mean_2(ours) has per-block
+    # variance var_ref/K + var_ours/2; the gates are a variance-normalized
+    # mean square (expectation ~<1 under the null, regularization makes it
+    # conservative) and a max z over the 192 block-channels (Gaussian max
+    # ~2.9 sigma; 5 leaves tail room for the reference's heavier-tailed
+    # libc-rand estimator). A systematic formula error (a missing cos, a
+    # pi, a pdf factor) shifts whole regions by many sigma.
+    var_ref = rbs.var(axis=0, ddof=1)              # per block-channel
+    var_ours = (oa - ob) ** 2 / 2.0
+    noise2 = ((var_ref + var_ref.mean()) / K
+              + (var_ours + var_ours.mean()) / 2.0 + 1e-10)
     d_cross = rb - 0.5 * (oa + ob)
-    rms_self = float(np.sqrt(np.mean(d_self**2)))
-    rms_cross = float(np.sqrt(np.mean(d_cross**2)))
-    assert rms_cross < 1.8 * rms_self + 1e-4, (rms_cross, rms_self)
-    assert float(np.abs(d_cross).max()) < 3.5 * float(np.abs(d_self).max()) + 1e-3
+    chi = float(np.mean(d_cross**2 / noise2))
+    z_max = float(np.abs(d_cross / np.sqrt(noise2)).max())
+    assert chi < 2.5, (chi, z_max)
+    assert z_max < 5.0, (chi, z_max)
 
     # Global energy agreement per channel (catches any uniform scale error
     # far below the block-noise floor because 64 blocks average down)

@@ -61,6 +61,42 @@ def test_compiled_kernel_random_rays_match_brute():
 
 
 @on_tpu
+def test_compiled_paged_kernel_matches_brute():
+    """Compiled PAGED-kernel gate (ADVICE r4): the paged path is otherwise
+    validated only in interpret mode, yet this toolchain has documented
+    interpret-vs-Mosaic divergences (scalar bitcast, static VMEM scalar
+    reads, in-loop DMA hangs) that only compiled runs catch. A tiny
+    resident_cap forces heavy paging on the courtyard."""
+    from terra_tpu import intersect
+    from terra_tpu.accel import pallas_traverse as pt
+
+    scene = tt.scenes.courtyard()
+    rng = np.random.default_rng(7)
+    n = 2048
+    lo = np.asarray(scene.bvh.node_min[0])
+    hi = np.asarray(scene.bvh.node_max[0])
+    o = jnp.asarray(lo + rng.random((n, 3), np.float32) * (hi - lo))
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+    ta, tb, tc = scene.geometry.corners()
+    # resident_cap 64 pages ~99% of the courtyard's wide tree
+    packed = pt.pack_tables_paged(scene.bvh, ta, tb, tc, resident_cap=64)
+    hit_k = jax.jit(
+        lambda o, d: pt.raycast(scene, o, d, packed=packed)
+    )(o, d)
+    hit_b = jax.jit(
+        lambda o, d: intersect.raycast_brute(o, d, ta, tb, tc)
+    )(o, d)
+    hk, hb = np.asarray(hit_k.hit), np.asarray(hit_b.hit)
+    assert (hk == hb).all(), f"{int((hk != hb).sum())}/{n} paged hit mismatches"
+    both = hk & hb
+    np.testing.assert_allclose(
+        np.asarray(hit_k.t)[both], np.asarray(hit_b.t)[both],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@on_tpu
 def test_compiled_bvh_render_matches_oracle():
     """One small BVH render end-to-end through the compiled kernel vs the
     NumPy oracle (the golden comparison, but on the Mosaic artifact)."""
