@@ -185,6 +185,27 @@ def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer,
     tests/test_sharding.py::test_chunked_grad_allreduce_matches_unchunked
     against the unsharded ground truth — a round-<=3 latent bug).
     """
+    grads_fn = make_grad_fn_sharded(cam, opts, target, mesh, spp=spp,
+                                    grad_chunks=grad_chunks)
+    spp_eff = spp or opts.samples_per_pixel
+
+    @jax.jit
+    def step(state: TrainState, scene: Scene, key):
+        offset = state.step * spp_eff
+        loss, grads = grads_fn(state.params, scene, key, offset)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_grad_fn_sharded(cam: Camera, opts: RenderOptions, target, mesh: Mesh,
+                         spp: Optional[int] = None, grad_chunks: int = 1):
+    """The sharded (loss, grads) computation of
+    :func:`make_train_step_sharded`, exposed directly so tests can compare
+    GRADIENTS bit-for-bit across process counts and mesh layouts
+    (tests/test_distributed.py) without routing through an optimizer."""
     spp_eff = spp or opts.samples_per_pixel
     n_rows = mesh.shape["rows"]
     n_samp = mesh.shape["samples"]
@@ -242,14 +263,10 @@ def make_train_step_sharded(cam: Camera, opts: RenderOptions, target, optimizer,
     )
 
     @jax.jit
-    def step(state: TrainState, scene: Scene, key):
-        offset = state.step * spp_eff
-        loss, grads = shard_fn(state.params, scene, key, offset, target)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+    def grads_fn(params, scene: Scene, key, sample_offset):
+        return shard_fn(params, scene, key, sample_offset, target)
 
-    return step
+    return grads_fn
 
 
 def recover(

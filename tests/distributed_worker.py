@@ -9,13 +9,15 @@ to stitch and compare (VERDICT r3 missing #3: this module had never
 executed in any test).
 
 Usage: python distributed_worker.py <coord addr> <pid> <nproc> <out.npz>
+       [devices_per_proc=4]
 """
 import os
 import sys
 
-# 4 virtual CPU devices per process, CPU backend (the site config registers
+# N virtual CPU devices per process, CPU backend (the site config registers
 # the TPU platform at interpreter start; override BEFORE first device use)
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+_NDEV = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={_NDEV}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
@@ -40,8 +42,8 @@ def main() -> None:
         coordinator_address=coord, num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == _NDEV
+    assert jax.device_count() == _NDEV * nproc
     assert distributed.is_coordinator() == (pid == 0)
 
     # ('rows', 'samples') mesh over the whole "pod": 2 sample ways, the
@@ -80,11 +82,27 @@ def main() -> None:
     )
     jax.block_until_ready(acc)
 
+    # Sharded GRADIENTS across the process-spanning mesh (VERDICT r4 #9:
+    # only the render was compared before). The grads come out replicated;
+    # every process saves its copy and the parent asserts bit-equality
+    # across process counts and vs its single-process ground truth.
+    import optax  # noqa: F401  (optim imports it)
+    from terra_tpu import optim
+
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    params = optim.extract_params(scene, ("attrs", "emissive"))
+    gf = optim.make_grad_fn_sharded(cam, opts, target, mesh, grad_chunks=2)
+    loss, grads = gf(params, scene, key, jnp.int32(0))
+    jax.block_until_ready(loss)
+
     # save this process's addressable row bands for the parent to stitch
     bands = {}
     for s in acc.addressable_shards:
         row0 = s.index[0].start or 0
         bands[f"row{row0}"] = np.asarray(s.data)
+    bands["grad_loss"] = np.asarray(jax.device_get(loss))
+    for name, g in grads.items():
+        bands[f"grad_{name}"] = np.asarray(jax.device_get(g))
     np.savez(out, **bands)
     print(f"worker {pid}: ok ({len(bands)} bands)")
 

@@ -32,26 +32,29 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_render_matches_single_process(tmp_path):
+def _run_workers(tmp_path, nproc: int, ndev: int):
+    """Launch nproc workers with ndev virtual devices each; return the
+    stitched image and the (replicated) gradient arrays each saved."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
-    outs = [str(tmp_path / f"p{i}.npz") for i in range(2)]
+    outs = [str(tmp_path / f"p{nproc}x{ndev}_{i}.npz") for i in range(nproc)]
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, coord, str(i), "2", outs[i]],
+            [sys.executable, _WORKER, coord, str(i), str(nproc), outs[i],
+             str(ndev)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     logs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=300)
             logs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -65,19 +68,30 @@ def test_two_process_render_matches_single_process(tmp_path):
                 pytest.skip(f"jax.distributed unavailable here:\n{log[-500:]}")
             pytest.fail(f"worker rc={p.returncode}\n{log}")
 
-    # stitch both processes' row bands
     acc = np.zeros((16, 16, 3), np.float32)
     seen = np.zeros(16, bool)
+    grads_per_proc = []
     for path in outs:
+        g = {}
         with np.load(path) as z:
             for name in z.files:
-                row0 = int(name[3:])
-                band = z[name]
-                acc[row0:row0 + band.shape[0]] = band
-                seen[row0:row0 + band.shape[0]] = True
+                if name.startswith("grad_"):
+                    g[name[5:]] = z[name]
+                else:
+                    row0 = int(name[3:])
+                    band = z[name]
+                    acc[row0:row0 + band.shape[0]] = band
+                    seen[row0:row0 + band.shape[0]] = True
+        grads_per_proc.append(g)
     assert seen.all(), f"missing rows: {np.nonzero(~seen)[0]}"
+    # grads are replicated: every process must hold identical bits
+    for g in grads_per_proc[1:]:
+        for k in grads_per_proc[0]:
+            np.testing.assert_array_equal(g[k], grads_per_proc[0][k])
+    return acc, grads_per_proc[0]
 
-    # single-process reference (this pytest process's 8-device CPU mesh)
+
+def _single_process_ref():
     import jax.numpy as jnp
     from terra_tpu.ops import rng as rng_mod
     from terra_tpu.render import render_chunk
@@ -91,4 +105,43 @@ def test_two_process_render_matches_single_process(tmp_path):
     k0, k1 = rng_mod.key_from_seed(5)
     key = jnp.array([k0, k1], jnp.uint32)
     ref = np.asarray(render_chunk(scene, cam, opts, key, jnp.int32(0), 4))
+    return scene, cam, opts, key, ref
+
+
+@pytest.mark.parametrize("nproc,ndev", [(2, 4), (4, 2)])
+def test_multiprocess_render_matches_single_process(tmp_path, nproc, ndev):
+    """nproc x ndev process/device matrix (VERDICT r4 #9): the image must
+    match the single-process render regardless of process layout."""
+    acc, _ = _run_workers(tmp_path, nproc, ndev)
+    *_, ref = _single_process_ref()
     np.testing.assert_allclose(acc, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gradients_bit_equal_across_process_counts(tmp_path):
+    """Sharded gradients must be BIT-equal across process layouts (2x4 vs
+    4x2 — same global ('rows','samples') mesh shape, different process
+    boundaries) and vs this pytest process's own 8-device mesh."""
+    _, g24 = _run_workers(tmp_path, 2, 4)
+    _, g42 = _run_workers(tmp_path, 4, 2)
+    assert set(g24) == set(g42) and len(g24) > 1
+    for k in g24:
+        np.testing.assert_array_equal(g24[k], g42[k])
+
+    # single-process ground truth on this pytest process's 8-device mesh
+    import jax.numpy as jnp
+    import optax  # noqa: F401
+    from terra_tpu import optim
+    from terra_tpu.parallel import mesh as pmesh
+
+    scene, cam, opts, key, _ = _single_process_ref()
+    mesh = pmesh.make_mesh((4, 2))
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    params = optim.extract_params(scene, ("attrs", "emissive"))
+    gf = optim.make_grad_fn_sharded(cam, opts, target, mesh, grad_chunks=2)
+    loss, grads = gf(params, scene, key, jnp.int32(0))
+    assert np.isfinite(float(g24["loss"]))
+    np.testing.assert_allclose(float(loss), float(g24["loss"]),
+                               rtol=1e-6, atol=0)
+    for k, v in grads.items():
+        np.testing.assert_allclose(np.asarray(v), g24[k], rtol=1e-6,
+                                   atol=1e-8)

@@ -195,10 +195,33 @@ def test_reference_cross_validation(ref_binary, tmp_path, scene_kw, integrator,
     noise2 = ((var_ref + var_ref.mean()) / K
               + (var_ours + var_ours.mean()) / 2.0 + 1e-10)
     d_cross = rb - 0.5 * (oa + ob)
-    chi = float(np.mean(d_cross**2 / noise2))
+    # Global gate on the MEDIAN normalized square (null ~0.45): the mean of
+    # z^2 is t^2-distributed with ~4 dof per block — heavy-tailed enough
+    # that a single unlucky bright block pushed it over any sane threshold
+    # in ~1/20 null runs during calibration. The median is immune to block
+    # outliers; a broad formula error (most blocks shifted >~1.5 sigma)
+    # still lifts it past 3, and localized errors are what the region
+    # gates below are for.
+    chi_med = float(np.median(d_cross**2 / noise2))
+    assert chi_med < 3.0, chi_med
+    # Region gates: per-block variance estimates have only ~4 dof, so a
+    # per-block max-z is t-distributed with heavy tails (a 5.6-sigma block
+    # appeared in 18 null runs during calibration). Aggregating deviations
+    # over regions sums away the per-block estimator noise (Satterthwaite
+    # dof grows with blocks pooled) AND matches the error model: a formula
+    # error shifts whole regions, not single blocks. z per region-channel =
+    # sum(d) / sqrt(sum(noise2)); a 1-sigma-per-block regional shift gives
+    # |z| ~ sqrt(blocks) >> these thresholds.
+    hb, wb = d_cross.shape[:2]
+    for rgrid, zlim in ((2, 4.5), (4, 5.0)):
+        rh, rw = hb // rgrid, wb // rgrid
+        dsum = d_cross.reshape(rgrid, rh, rgrid, rw, 3).sum(axis=(1, 3))
+        nsum = noise2.reshape(rgrid, rh, rgrid, rw, 3).sum(axis=(1, 3))
+        z_r = float(np.abs(dsum / np.sqrt(nsum)).max())
+        assert z_r < zlim, (rgrid, z_r, chi)
+    # loose per-block backstop for an absurd single-block error
     z_max = float(np.abs(d_cross / np.sqrt(noise2)).max())
-    assert chi < 2.5, (chi, z_max)
-    assert z_max < 5.0, (chi, z_max)
+    assert z_max < 10.0, (chi, z_max)
 
     # Global energy agreement per channel (catches any uniform scale error
     # far below the block-noise floor because 64 blocks average down)
