@@ -86,7 +86,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             box_enc: str = "f32",
             has_tmax: bool = False, any_hit: bool = False,
             count_steps: bool = False,
-            s_resident: int = 0, npq: int = 0):
+            s_resident: int = 0, npq: int = 0,
+            row_mask: bool = False):
     paged = npq > 0
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
@@ -284,6 +285,56 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             def _(sl=sl):
                 _dense_rows(slot, sl)
 
+    def _dense_rows_masked(slot: int, row0: int, bits):
+        """ROW-MASKED dense leaf test (round-5): the queueing pop saved an
+        8-bit active-row mask (which sublane rows had any lane pass the
+        leaf box test) into the SMEM bits queue; inactive rows skip their
+        dense work entirely. Measured motivation
+        (scripts/cfg3m_decompose.py + the offline occupancy sim): dense
+        chunks were 73% of 1M-tri traversal time with only ~2.6 of 8
+        sublane rows active per leaf visit. Tiles are (CH-tri-sublane x
+        128-ray-lane) VREGs per row — same per-op arithmetic as
+        _dense_rows, ~1/3 the instances (scripts/rowmask_patterns_probe.py
+        proved the row-store / tri-sublane-tile / rowbits Mosaic patterns
+        on this toolchain)."""
+        CH = min(8, leaf_size)
+        tri = tri_scratch[slot]
+        # hoist the (CH,1) column extractions out of the row loop: 10
+        # lane-slices per chunk happen ONCE per leaf visit, not once per
+        # active row (the first cut paid 8x the extractions)
+        n_chunks = -(-leaf_size // CH)
+        cols = []
+        for c in range(n_chunks):
+            sub = tri[c * CH:min((c + 1) * CH, leaf_size)]
+            cols.append([sub[:, j].reshape(-1, 1) for j in range(10)])
+        for r in range(rows_pp):
+            @pl.when(((bits >> r) & 1) > 0)
+            def _(r=r):
+                oxr, oyr, ozr = ox[row0 + r], oy[row0 + r], oz[row0 + r]
+                dxr, dyr, dzr = dx[row0 + r], dy[row0 + r], dz[row0 + r]
+                for c in range(n_chunks):
+                    col = cols[c].__getitem__
+                    ok, t = isect(
+                        (oxr, oyr, ozr), (dxr, dyr, dzr),
+                        (col(0), col(1), col(2)),
+                        (col(3), col(4), col(5)),
+                        (col(6), col(7), col(8)),
+                        EPS,
+                    )                                  # (CH, 128)
+                    t_m = jnp.where(ok, t, T_FAR)
+                    tmin = jnp.min(t_m, axis=0)        # (128,)
+                    idm = jnp.min(jnp.where(t_m <= tmin[None], col(9),
+                                            jnp.float32(3e7)), axis=0)
+                    better = tmin < best_t_ref[row0 + r]
+                    best_i_ref[row0 + r] = jnp.where(
+                        better, idm.astype(jnp.int32), best_i_ref[row0 + r])
+                    if any_hit:
+                        best_t_ref[row0 + r] = jnp.where(
+                            better, jnp.float32(0.0), best_t_ref[row0 + r])
+                    else:
+                        best_t_ref[row0 + r] = jnp.where(
+                            better, tmin, best_t_ref[row0 + r])
+
     def leaf_dma(slot: int, leaf_id):
         return pltpu.make_async_copy(
             tris_ref.at[pl.ds(leaf_id * leaf_size, leaf_size)],
@@ -425,7 +476,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             if steps_ref is not None:
                 steps_ref[...] = jnp.full_like(best_i_ref[...], steps)
 
-    def run_multi(stack_ref, queue_ref, pqueue_ref=None):
+    def run_multi(stack_ref, queue_ref, pqueue_ref=None, bits_ref=None):
         """``ways`` independent packets of ``rows_pp``x128 rays traverse in
         lockstep inside one grid step (rays (rows_pp*ways,128): rows
         w*rows_pp..(w+1)*rows_pp-1 = packet w). Each loop iteration pops one
@@ -456,8 +507,15 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         def pop_half(h, sp, qn):
             """Pop for packet h: leaves queue; internals return their child
             links (2 or 4) plus the safe parent id (wide boxes live at the
-            PARENT's table row)."""
-            do = (sp > 0) & (qn < nq)
+            PARENT's table row). Under ``row_mask`` the pop needs room for
+            up to 4 direct-queued leaf children (fill_pair queues leaf
+            children at the parent pop, skipping their stack round-trip);
+            stack-popped leaves still occur (paged drain pushes leaf
+            children) and get a FULL row mask."""
+            if row_mask:
+                do = (sp > 0) & (qn + 4 <= nq)
+            else:
+                do = (sp > 0) & (qn < nq)
             spc = jnp.maximum(sp - 1, 0)
             node = stack_ref[h, spc]
             is_leaf = (node >= ni) & do
@@ -465,6 +523,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             @pl.when(is_leaf)
             def _():
                 queue_ref[h * nq + qn] = node - ni
+                if row_mask:
+                    bits_ref[h * nq + qn] = jnp.int32((1 << rows_pp) - 1)
 
             qn = qn + is_leaf.astype(jnp.int32)
             safe = jnp.where(node >= ni, 0, node)
@@ -480,7 +540,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             HBM row is DMA'd and expanded in the drain phase — a round-trip
             through the queue instead of an immediate SMEM expansion), and
             resident nodes expand inline as usual."""
-            do = (sp > 0) & (qn < nq) & (pqn < npq)
+            if row_mask:
+                do = (sp > 0) & (qn + 4 <= nq) & (pqn < npq)
+            else:
+                do = (sp > 0) & (qn < nq) & (pqn < npq)
             spc = jnp.maximum(sp - 1, 0)
             node = stack_ref[h, spc]
             is_leaf = (node >= ni) & do
@@ -489,6 +552,8 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             @pl.when(is_leaf)
             def _():
                 queue_ref[h * nq + qn] = node - ni
+                if row_mask:
+                    bits_ref[h * nq + qn] = jnp.int32((1 << rows_pp) - 1)
 
             @pl.when(is_pg)
             def _():
@@ -513,6 +578,59 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             push1 = gate & (jnp.minimum(le, re) < T_FAR)
             sp_new = push2_h(h, spc, second, push2, first, push1)
             return jnp.where(do, sp_new, sp_old)
+
+        def _expand4_rowmask(pops, sps, cs):
+            """row_mask expansion shared by the resident and paged fill
+            loops. Per child: ONE cross-lane (axis=1) min reduction gives
+            the per-ROW entry minima (8,1); the packet entry scalar and an
+            8-bit active-row mask derive from it with tiny sublane
+            reductions — same big-reduction count as the plain path. Leaf
+            children DIRECT-QUEUE (no stack round-trip) with their row
+            bits in the SMEM bits queue; internal hit children push
+            entry-ordered. (A first cut stored full (8,128) mask PLANES in
+            VMEM instead: 16 live planes + predicated VMEM stores made the
+            fill iteration ~1.8x more expensive and lost the whole gain —
+            mega 15.5 -> 13.3 Mrays/s, measured r5.) Returns
+            (new_sps, new_qns)."""
+            riota = jax.lax.broadcasted_iota(jnp.int32, (rows_pp, 1), 0)
+            # entry scalars exactly as the plain path (ONE full-min
+            # reduction per child, all traced before any consumer). An
+            # eager per-child rowmin restructure was measured 10ms slower
+            # per 1M-ray launch (mega "fill" 76.8 vs "off" 66.9 ms):
+            # rowbits instead compute LAZILY inside the queue branch below
+            # — only the ~10% of child tests that actually queue a leaf
+            # pay the slab recompute + small reductions.
+            ents = [
+                [entry_at(4 * cs * p[4] + cs * c, HS[w]) for c in range(4)]
+                for w, p in enumerate(pops)
+            ]
+            new_sps, new_qns = [], []
+            for w, p in enumerate(pops):
+                do, spc, not_inline = p[0], p[1], p[2]
+                qn = p[5]
+                push_ents = []
+                for c in range(4):
+                    lk = p[3][c]
+                    leafc = lk >= ni
+                    e = ents[w][c]
+                    q = do & (~not_inline) & leafc & (e < T_FAR)
+
+                    @pl.when(q)
+                    def _(w=w, c=c, qn=qn, lk=lk, p=p):
+                        hm, tm = _hitmask_at(4 * cs * p[4] + cs * c, HS[w])
+                        rowmin = jnp.min(jnp.where(hm, tm, T_FAR), axis=1,
+                                         keepdims=True)    # (rows_pp, 1)
+                        bits = jnp.sum(
+                            (rowmin < T_FAR).astype(jnp.int32) << riota)
+                        queue_ref[w * nq + qn] = lk - ni
+                        bits_ref[w * nq + qn] = bits
+
+                    qn = qn + q.astype(jnp.int32)
+                    push_ents.append(jnp.where(leafc, T_FAR, e))
+                new_sps.append(decide_push4(w, do, spc, not_inline, p[3],
+                                            tuple(push_ents), sps[w]))
+                new_qns.append(qn)
+            return tuple(new_sps), tuple(new_qns)
 
         def decide_push4(h, do, spc, node_leaf, links, ents, sp_old):
             """Entry-ordered push of up to 4 hit children: a 5-exchange
@@ -563,6 +681,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     c = c + p[0].astype(jnp.int32)
                 cnt = (c,)
             cs = 3 if box_enc == "bf16" else 6  # resident words per child box
+            if row_mask:
+                new_sps, new_qns = _expand4_rowmask(pops, sps, cs)
+                return (new_sps + new_qns
+                        + tuple(p[6] for p in pops) + cnt + (steps + 1,))
             ents = [
                 tuple(entry_at(4 * cs * p[4] + cs * c, HS[w]) for c in range(4))
                 for w, p in enumerate(pops)
@@ -579,10 +701,11 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             sps = state[:ways]
             qns = state[ways:2 * ways]
             pqns = state[2 * ways:3 * ways]
-            any_do = (sps[0] > 0) & (qns[0] < nq) & (pqns[0] < npq)
+            room = (nq - 4) if row_mask else (nq - 1)
+            any_do = (sps[0] > 0) & (qns[0] <= room) & (pqns[0] < npq)
             for w in range(1, ways):
                 any_do = any_do | (
-                    (sps[w] > 0) & (qns[w] < nq) & (pqns[w] < npq)
+                    (sps[w] > 0) & (qns[w] <= room) & (pqns[w] < npq)
                 )
             return any_do & (state[-1] < capm)
 
@@ -645,7 +768,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
                 @pl.when(jj < qns[h])
                 def _(j=j, h=h):
-                    _dense_rows(j, HS[h])
+                    if row_mask and row_mask != "fill":
+                        _dense_rows_masked(j, h * rows_pp, bits_ref[j])
+                    else:
+                        _dense_rows(j, HS[h])
 
             return tuple(sps) + cnt_out + (steps,)
 
@@ -671,6 +797,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                                 pops[w][3], els[w], ers[w], sps[w])
                     for w in range(ways)
                 )
+            elif row_mask:
+                cs = 3 if box_enc == "bf16" else 6
+                new_sps, new_qns = _expand4_rowmask(pops, sps, cs)
+                return new_sps + new_qns + cnt + (steps + 1,)
             else:
                 cs = 3 if box_enc == "bf16" else 6  # words per child box
                 ents = [
@@ -687,9 +817,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         def fill_cond(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
-            any_do = (sps[0] > 0) & (qns[0] < nq)
+            room = (nq - 4) if row_mask else (nq - 1)
+            any_do = (sps[0] > 0) & (qns[0] <= room)
             for w in range(1, ways):
-                any_do = any_do | ((sps[w] > 0) & (qns[w] < nq))
+                any_do = any_do | ((sps[w] > 0) & (qns[w] <= room))
             return any_do & (steps < capm)
 
         def round_body(state):
@@ -717,7 +848,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
                 @pl.when(jj < qns[h])
                 def _(j=j, h=h):
-                    _dense_rows(j, HS[h])
+                    if row_mask and row_mask != "fill":
+                        _dense_rows_masked(j, h * rows_pp, bits_ref[j])
+                    else:
+                        _dense_rows(j, HS[h])
 
             return tuple(sps) + cnt_out + (steps,)
 
@@ -756,16 +890,16 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 steps_ref[...] = jnp.full_like(best_i_ref[...], st[-1])
 
     if (ways > 1 or arity == 4) and ni > 0:
+        scr = [pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
+               pltpu.SMEM((max(ways, 1) * nq,), jnp.int32)]
         if paged:
-            pl.run_scoped(
-                run_multi,
-                pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
-                pltpu.SMEM((max(ways, 1) * nq,), jnp.int32),
-                pltpu.SMEM((max(ways, 1) * npq,), jnp.int32),
-            )
+            scr.append(pltpu.SMEM((max(ways, 1) * npq,), jnp.int32))
+        if row_mask:
+            scr.append(pltpu.SMEM((max(ways, 1) * nq,), jnp.int32))  # bits
+        if row_mask and not paged:
+            pl.run_scoped(lambda st, q, b: run_multi(st, q, None, b), *scr)
         else:
-            pl.run_scoped(run_multi, pltpu.SMEM((max(ways, 1), STACK_DEPTH), jnp.int32),
-                          pltpu.SMEM((max(ways, 1) * nq,), jnp.int32))
+            pl.run_scoped(run_multi, *scr)  # (st, q[, pq][, bits]) in order
     else:
         pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                       pltpu.SMEM((max(nq, 2),), jnp.int32))
@@ -1021,7 +1155,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      t_max=None, any_hit: bool = False,
                      count_steps: bool = False,
                      paged_rows=None, s_resident: int = 0,
-                     npq: int = PAGED_QUEUE):
+                     npq: int = PAGED_QUEUE,
+                     row_mask: bool | None = None):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
     ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
@@ -1053,6 +1188,23 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     # must interleave enough ways to fill the (8k, 128) block.
     assert packet_rows % 8 == 0, f"block rows {packet_rows} must be 8k"
     rows_pp = packet_rows // max(ways, 1)
+    # Row-masked dense leaf test (arity-4 paths): leaf children
+    # direct-queue at the parent pop with an 8-bit active-row mask; rows
+    # with no candidate lanes skip their dense tiles. MEASURED NEGATIVE on
+    # this toolchain, kept selectable for the record (mega-1M primary,
+    # Mrays/s): off 15.8, fill-only 12.9-13.7, full 12.4-12.9; courtyard
+    # off 27.6, full 23.1. Despite iterations dropping 32% (13.7k->9.4k)
+    # and ~2.6/8 row occupancy, BOTH rowbits acquisition forms (eager
+    # per-child rowmin reductions; lazy in-branch recompute) cost more
+    # than they save, and the masked drain's 8 pl.when regions per leaf
+    # visit eat the dense savings — Mosaic branch overhead is ~300 cycles,
+    # the same wall the round-2 row-band lever hit. Default stays OFF.
+    if row_mask is None:
+        row_mask = False
+    if not (arity == 4 and row_mask):
+        row_mask = False
+    if row_mask:
+        queue = max(queue, 8)
 
     def plane(v):
         return v.reshape(rows, 128)
@@ -1073,6 +1225,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         has_tmax=t_max is not None, any_hit=any_hit,
         count_steps=count_steps,
         s_resident=s_resident, npq=npq if paged else 0,
+        row_mask=row_mask,
     )
     n_out = 3 if count_steps else 2
     table_specs = [

@@ -256,7 +256,31 @@ static int32_t sah_range(SahCtx& B, int64_t lo, int64_t hi, int32_t cont,
     // balance floor: keeps leaves >= leaf_size/2 full AND bounds the
     // recursion depth (both sides >= n/16 => depth = O(log n))
     const int64_t min_side = std::max(B.min_side, n / 16);
-    if (!make_leaf) {
+    int64_t forced_mid = -1;
+    if (!make_leaf && n <= 2 * (int64_t)B.leaf_size) {
+        // Chunk-packing split (round 5): the Pallas dense leaf test runs
+        // in 8-triangle chunks, and padded slots repeat triangles — pure
+        // wasted VPU work (measured 23.6% of all chunks at 1M tris with
+        // SAH's balanced [L/2, L] leaves). For a range that must become
+        // exactly two leaves, split at an 8-aligned point (both sides
+        // <= leaf_size), eliminating one side's pad chunks while keeping
+        // spatial locality via a widest-axis nth_element.
+        for (int k = 0; k < 3; ++k) cb_ext[k] = cb.hi[k] - cb.lo[k];
+        int axis = 0;
+        for (int k = 1; k < 3; ++k)
+            if (cb_ext[k] > cb_ext[axis]) axis = k;
+        int64_t na = std::min<int64_t>(B.leaf_size, 8 * ((n + 15) / 16));
+        if (na < n - B.leaf_size) na = n - B.leaf_size;
+        if (na <= 0 || na >= n) na = n / 2;
+        std::nth_element(
+            B.order.begin() + lo, B.order.begin() + lo + na,
+            B.order.begin() + hi,
+            [&](int32_t a, int32_t b) {
+                return B.cen[a * 3 + axis] < B.cen[b * 3 + axis];
+            });
+        best_axis = -2;
+        forced_mid = lo + na;
+    } else if (!make_leaf) {
         for (int k = 0; k < 3; ++k) {
             cb_ext[k] = cb.hi[k] - cb.lo[k];
             cb_inv[k] = cb_ext[k] > 1e-12f ? SAH_BINS / cb_ext[k] : 0.0f;
@@ -335,7 +359,7 @@ static int32_t sah_range(SahCtx& B, int64_t lo, int64_t hi, int32_t cont,
 
     int64_t mid;
     if (best_axis == -2) {
-        mid = lo + n / 2;
+        mid = forced_mid >= 0 ? forced_mid : lo + n / 2;
     } else {
         auto it = std::partition(
             B.order.begin() + lo, B.order.begin() + hi,
@@ -461,6 +485,9 @@ namespace {
 static int64_t sah_count(SahCtx& B, int64_t lo, int64_t hi) {
     const int64_t n = hi - lo;
     if (n <= B.leaf_size) return 1;
+    // mirrors sah_range's chunk-packing split: exactly two leaves, and no
+    // deeper decisions depend on this range's partition order
+    if (n <= 2 * (int64_t)B.leaf_size) return 2;
     const int64_t min_side = std::max(B.min_side, n / 16);
     Box cb;
     for (int64_t i = lo; i < hi; ++i)

