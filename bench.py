@@ -184,6 +184,22 @@ def bench_ggx_mis(tt, key):
           seconds=round(dt, 3))
 
 
+def _host_courtyard(**kw):
+    """Build the scene with CPU-device dispatch + one bulk transfer:
+    op-by-op TPU dispatch of scene construction through the compile relay
+    measured 300-860s cold for the 1M-tri build vs ~5s on the host
+    (round 5, CLAUDE.md); the arrays are identical."""
+    import jax
+    import terra_tpu as tt
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        scene = tt.scenes.courtyard(**kw)
+    scene = jax.device_put(scene, jax.devices()[0])
+    jax.block_until_ready(scene.bvh.node_min)
+    return scene
+
+
 def _verify_compiled_kernel(scene, o, d, n_check: int = 2048):
     """Correctness gate on the COMPILED Mosaic kernel: closest-hit of a ray
     subset via the Pallas path must match the brute-force intersector.
@@ -223,8 +239,7 @@ def bench_courtyard(tt, key):
 
     _log("config 3: courtyard 242k-tri build+traversal ...")
     t0 = time.perf_counter()
-    scene = tt.scenes.courtyard()  # pinned: 241,764 tris, textured, BVH
-    jax.block_until_ready(scene.bvh.node_min)
+    scene = _host_courtyard()  # pinned: 241,764 tris, textured, BVH
     total_build_s = time.perf_counter() - t0
     ntri = int(scene.geometry.tri_vidx.shape[0])
     if ntri != COURTYARD_TRIS:
@@ -354,8 +369,7 @@ def bench_mega(tt, key):
 
     _log("config 3m: 1M-tri scene (quantized wide kernel) ...")
     t0 = time.perf_counter()
-    scene = tt.scenes.courtyard(grid=690, columns=40)  # 1,013,964 tris
-    jax.block_until_ready(scene.bvh.node_min)
+    scene = _host_courtyard(grid=690, columns=40)  # 1,013,964 tris
     build_s = time.perf_counter() - t0
     bvh = scene.bvh
     mode = pt.wide_mode(bvh)
@@ -404,9 +418,34 @@ def bench_mega(tt, key):
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     mrays = n / dt / 1e6
+
+    # Limit-model annotation (PARITY "Traversal-kernel limit model"): one
+    # counted compile records fill iterations / pops / leaf visits; the
+    # pops-free ceiling prices ONLY the dense leaf chunks at the measured
+    # ~421 ns per 8-tri x 1024-ray chunk (fit range 335-507 across
+    # leaf-size mixes; chunk cost sits at the VPU issue floor).
+    B_CHUNK_NS = 421.0
+    try:
+        def run_counted(packed, o, d):
+            keys = xla_traverse._sort_keys(o, d, bvh.node_min[0],
+                                           bvh.node_max[0], mode="dir3")
+            order = jnp.argsort(keys)
+            return pt.traverse_packed(bvh, packed, o[order], d[order],
+                                      mode=mode, count_steps=True)
+
+        cout = jax.jit(run_counted)(packed, o, d)
+        c = pt.count_decode(np.asarray(cout[2]),
+                            pt.PACKET_ROWS * pt.INTERLEAVE)
+        chunks = int(c["leaves"].sum()) * -(-bvh.leaf_size // 8)
+        ceiling = n / (chunks * B_CHUNK_NS * 1e-9) / 1e6
+        extra = dict(iters=int(c["iters"].sum()), pops=int(c["pops"].sum()),
+                     leaf_visits=int(c["leaves"].sum()),
+                     pct_pop_free_ceiling=round(100.0 * mrays / ceiling, 1))
+    except Exception as e:  # counters must never fail the headline metric
+        extra = dict(counter_error=f"{type(e).__name__}: {e}")
     _emit("mega_bvh_mrays", mrays, "Mrays/s", mrays / BASE_COURTYARD,
           tris=int(scene.geometry.tri_vidx.shape[0]), leaf_size=bvh.leaf_size,
-          box_enc=str(mode), build_s=round(build_s, 1))
+          box_enc=str(mode), build_s=round(build_s, 1), **extra)
 
 
 def bench_inverse(tt, key):

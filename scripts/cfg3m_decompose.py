@@ -116,7 +116,13 @@ def main():
 
     rows = []
     t0 = time.perf_counter()
-    scene0 = tt.scenes.courtyard(grid=690, columns=40)
+    # host-side build + one transfer (op-by-op TPU dispatch through the
+    # relay measured 300-860s for this scene vs ~5s on the host)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        scene0 = tt.scenes.courtyard(grid=690, columns=40)
+    scene0 = jax.device_put(scene0, jax.devices()[0])
+    jax.block_until_ready(scene0.bvh.node_min)
     print(f"mega scene: {int(scene0.geometry.tri_vidx.shape[0])} tris, "
           f"build {time.perf_counter() - t0:.1f}s", flush=True)
     cam = tt.scenes.courtyard_camera()
@@ -124,9 +130,14 @@ def main():
 
     for leaf in args.mega_leaf:
         t0 = time.perf_counter()
-        scene = (dataclasses.replace(scene0, bvh=lbvh.build(scene0.geometry,
-                                                            leaf_size=leaf))
-                 if leaf != scene0.bvh.leaf_size else scene0)
+        if leaf != scene0.bvh.leaf_size:
+            with jax.default_device(cpu):
+                bvh = lbvh.build(jax.device_put(scene0.geometry, cpu),
+                                 leaf_size=leaf)
+            scene = dataclasses.replace(
+                scene0, bvh=jax.device_put(bvh, jax.devices()[0]))
+        else:
+            scene = scene0
         jax.block_until_ready(scene.bvh.node_min)
         mode = pt.wide_mode(scene.bvh)
         print(f"leaf {leaf}: wide {scene.bvh.num_wide} mode {mode} "

@@ -87,7 +87,7 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             has_tmax: bool = False, any_hit: bool = False,
             count_steps: bool = False,
             s_resident: int = 0, npq: int = 0,
-            row_mask: bool = False):
+            row_mask: bool = False, pops_per_iter: int = 1):
     paged = npq > 0
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
@@ -777,43 +777,50 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         def fill_pair(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
-            pops = [pop_half(w, sps[w], qns[w]) for w in range(ways)]
-            # do-gated pop counter (decomposition instrumentation): lets the
-            # probe separate fill ITERATIONS (lockstep, max over ways) from
-            # useful POPS (sum over ways) — their ratio is the interleave
-            # utilization.
-            cnt = ()
-            if count_steps:
-                c = state[2 * ways]
-                for p in pops:
-                    c = c + p[0].astype(jnp.int32)
-                cnt = (c,)
-            # all vector tests traced before any reduction consumer
-            if arity == 2:
-                els = [child_entry(p[3][0], HS[w]) for w, p in enumerate(pops)]
-                ers = [child_entry(p[3][1], HS[w]) for w, p in enumerate(pops)]
-                new_sps = tuple(
-                    decide_push(w, pops[w][0], pops[w][1], pops[w][2],
-                                pops[w][3], els[w], ers[w], sps[w])
-                    for w in range(ways)
-                )
-            elif row_mask:
-                cs = 3 if box_enc == "bf16" else 6
-                new_sps, new_qns = _expand4_rowmask(pops, sps, cs)
-                return new_sps + new_qns + cnt + (steps + 1,)
-            else:
-                cs = 3 if box_enc == "bf16" else 6  # words per child box
-                ents = [
-                    tuple(entry_at(4 * cs * p[4] + cs * c, HS[w]) for c in range(4))
-                    for w, p in enumerate(pops)
-                ]
-                new_sps = tuple(
-                    decide_push4(w, pops[w][0], pops[w][1], pops[w][2],
-                                 pops[w][3], ents[w], sps[w])
-                    for w in range(ways)
-                )
-            new_qns = tuple(p[5] for p in pops)
-            return new_sps + new_qns + cnt + (steps + 1,)
+            cnt = (state[2 * ways],) if count_steps else ()
+            # ``pops_per_iter`` > 1 amortizes the while-loop iteration
+            # overhead (the ~300-cycle scalar-control class measured via
+            # the row-mask experiments) over several sequential pops per
+            # way; each rep's pushes feed the next rep's pop.
+            for _rep in range(max(pops_per_iter, 1)):
+                pops = [pop_half(w, sps[w], qns[w]) for w in range(ways)]
+                # do-gated pop counter (decomposition instrumentation):
+                # fill ITERATIONS (lockstep) vs useful POPS (sum over
+                # ways) — their ratio is the interleave utilization.
+                if count_steps:
+                    c = cnt[0]
+                    for p in pops:
+                        c = c + p[0].astype(jnp.int32)
+                    cnt = (c,)
+                # all vector tests traced before any reduction consumer
+                if arity == 2:
+                    els = [child_entry(p[3][0], HS[w])
+                           for w, p in enumerate(pops)]
+                    ers = [child_entry(p[3][1], HS[w])
+                           for w, p in enumerate(pops)]
+                    sps = tuple(
+                        decide_push(w, pops[w][0], pops[w][1], pops[w][2],
+                                    pops[w][3], els[w], ers[w], sps[w])
+                        for w in range(ways)
+                    )
+                    qns = tuple(p[5] for p in pops)
+                elif row_mask:
+                    cs = 3 if box_enc == "bf16" else 6
+                    sps, qns = _expand4_rowmask(pops, sps, cs)
+                else:
+                    cs = 3 if box_enc == "bf16" else 6  # words per child box
+                    ents = [
+                        tuple(entry_at(4 * cs * p[4] + cs * c, HS[w])
+                              for c in range(4))
+                        for w, p in enumerate(pops)
+                    ]
+                    sps = tuple(
+                        decide_push4(w, pops[w][0], pops[w][1], pops[w][2],
+                                     pops[w][3], ents[w], sps[w])
+                        for w in range(ways)
+                    )
+                    qns = tuple(p[5] for p in pops)
+            return tuple(sps) + tuple(qns) + cnt + (steps + 1,)
 
         def fill_cond(state):
             sps, qns, steps = state[:ways], state[ways:2 * ways], state[-1]
@@ -1156,7 +1163,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      count_steps: bool = False,
                      paged_rows=None, s_resident: int = 0,
                      npq: int = PAGED_QUEUE,
-                     row_mask: bool | None = None):
+                     row_mask: bool | None = None,
+                     pops_per_iter: int = 1):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
     ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
@@ -1225,7 +1233,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         has_tmax=t_max is not None, any_hit=any_hit,
         count_steps=count_steps,
         s_resident=s_resident, npq=npq if paged else 0,
-        row_mask=row_mask,
+        row_mask=row_mask, pops_per_iter=pops_per_iter,
     )
     n_out = 3 if count_steps else 2
     table_specs = [
