@@ -48,6 +48,10 @@ def main():
     packed = pt.pack_tables_auto(bvh, *scene.geometry.corners())
 
     for rows_pp, ways in shapes:
+        if (n // 128) % (rows_pp * ways):
+            print(f"  ({rows_pp},{ways}): skipped (grid rows "
+                  f"{n // 128} not divisible)", flush=True)
+            continue
         def run(packed, o, d, rows_pp=rows_pp, ways=ways):
             keys = xla_traverse._sort_keys(o, d, bvh.node_min[0],
                                            bvh.node_max[0], mode="dir3")
