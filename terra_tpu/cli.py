@@ -203,9 +203,33 @@ def cmd_opt_list(_args) -> int:
 
 
 _CONSOLE_COMMANDS = [
-    "clear", "exit", "help", "load", "loop", "mesh", "opt", "quit",
-    "reload", "resize", "save", "stats", "step",
+    "clear", "exit", "help", "load", "loop", "mesh", "opt", "pause",
+    "quit", "reload", "resize", "save", "stats", "step",
 ]
+
+
+def _poll_pause() -> bool:
+    """Non-blocking check for a 'pause' line typed during `loop` (the
+    reference's pause command stops its renderer between tile-job pushes,
+    App.cpp:30-49 / Renderer.cpp:165-202; the synchronous equivalent
+    polls stdin between progressive passes). Any other mid-loop input is
+    reported and ignored."""
+    import select
+
+    try:
+        while select.select([sys.stdin], [], [], 0)[0]:
+            line = sys.stdin.readline()
+            if not line:  # EOF mid-loop: treat as pause
+                return True
+            line = line.strip()
+            if line == "pause":
+                return True  # later buffered lines stay for the console
+            if line:
+                print(f"(ignored {line!r} during loop — only 'pause' "
+                      "interrupts)")
+    except (OSError, ValueError):
+        return False
+    return False
 _CONSOLE_SUBCOMMANDS = {
     "opt": ["list", "load", "reset", "save", "set"],
     "mesh": ["list", "move"],
@@ -289,7 +313,7 @@ def cmd_console(args) -> int:
             if cmd in ("exit", "quit"):
                 return 0
             elif cmd == "help":
-                print("commands: load <obj> | reload | step | loop <n> | save <path> | "
+                print("commands: load <obj> | reload | step | loop [n] | pause | save <path> | "
                       "opt list | opt set <k> <v> | opt load <path> | opt save <path> | "
                       "resize <w> <h> | stats | clear | exit")
             elif cmd == "load":
@@ -304,14 +328,32 @@ def cmd_console(args) -> int:
                 scene = None
                 ensure_scene()
                 print("reloaded")
+            elif cmd == "pause":
+                # Outside a running loop there is nothing to pause: renders
+                # are synchronous here (the reference pauses its async tile
+                # renderer between job pushes, Renderer.cpp:165-202; our
+                # equivalent interrupts `loop` between passes).
+                print("nothing running — 'pause' interrupts a running 'loop'")
             elif cmd in ("step", "loop"):
-                n = int(rest[0]) if (cmd == "loop" and rest) else 1
+                # `loop` with no count runs until `pause` (typed mid-loop)
+                # or Ctrl-C — the reference's loop/pause pair (App.cpp:30-49
+                # loop re-pushes every iteration until pause flips the
+                # renderer state, Renderer.cpp:180-202).
+                n = (int(rest[0]) if rest else None) if cmd == "loop" else 1
                 s, c = ensure_scene()
                 opts = cfg.render_options()
-                for _ in range(n):
-                    with profiler.clock("render"):
-                        film = render(s, c, opts, seed=seed, film=film)
-                        film.acc.block_until_ready()
+                i = 0
+                try:
+                    while n is None or i < n:
+                        with profiler.clock("render"):
+                            film = render(s, c, opts, seed=seed, film=film)
+                            film.acc.block_until_ready()
+                        i += 1
+                        if _poll_pause():
+                            print(f"paused after {i} passes")
+                            break
+                except KeyboardInterrupt:
+                    print(f"\npaused after {i} passes")
                 print(f"{int(np.asarray(film.samples).max())} spp accumulated")
             elif cmd == "save":
                 if film is None:

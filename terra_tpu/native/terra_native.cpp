@@ -257,20 +257,37 @@ static int32_t sah_range(SahCtx& B, int64_t lo, int64_t hi, int32_t cont,
     // recursion depth (both sides >= n/16 => depth = O(log n))
     const int64_t min_side = std::max(B.min_side, n / 16);
     int64_t forced_mid = -1;
-    if (!make_leaf && n <= 2 * (int64_t)B.leaf_size) {
-        // Chunk-packing split (round 5): the Pallas dense leaf test runs
+    const int64_t L = B.leaf_size;
+    // Window measured optimal at 4L: extending the forced splits to 8L
+    // lifted mean fill 0.85 -> 0.92 but box quality paid for it (242k
+    // primary 28.26 -> 27.51 Mrays/s, mega flat) — r5 A/B.
+    if (!make_leaf && n <= 4 * L) {
+        // Chunk-packing splits (round 5): the Pallas dense leaf test runs
         // in 8-triangle chunks, and padded slots repeat triangles — pure
         // wasted VPU work (measured 23.6% of all chunks at 1M tris with
-        // SAH's balanced [L/2, L] leaves). For a range that must become
-        // exactly two leaves, split at an 8-aligned point (both sides
-        // <= leaf_size), eliminating one side's pad chunks while keeping
-        // spatial locality via a widest-axis nth_element.
+        // SAH's balanced [L/2, L] leaves). Small ranges split at forced
+        // points that minimize the LEAF COUNT (each visit costs a full
+        // ceil(L/8) chunks regardless of fill) while keeping spatial
+        // locality via a widest-axis nth_element:
+        //   (L, 2L] : 8-aligned near-half point, exactly 2 leaves
+        //   (2L,3L] : one FULL leaf + a packed (L, 2L] pair -> 3 leaves
+        //   (3L,4L] : 8-aligned near-half -> two (L, 2L] sides -> 4
+        // (sah_count mirrors these leaf counts exactly.)
         for (int k = 0; k < 3; ++k) cb_ext[k] = cb.hi[k] - cb.lo[k];
         int axis = 0;
         for (int k = 1; k < 3; ++k)
             if (cb_ext[k] > cb_ext[axis]) axis = k;
-        int64_t na = std::min<int64_t>(B.leaf_size, 8 * ((n + 15) / 16));
-        if (na < n - B.leaf_size) na = n - B.leaf_size;
+        int64_t na;
+        if (n <= 2 * L) {
+            na = std::min<int64_t>(L, 8 * ((n + 15) / 16));
+            if (na < n - L) na = n - L;
+        } else if (n <= 3 * L) {
+            na = L;
+        } else {
+            na = 8 * ((n + 15) / 16);
+            na = std::min(na, 2 * L);
+            if (na < n - 2 * L) na = n - 2 * L;
+        }
         if (na <= 0 || na >= n) na = n / 2;
         std::nth_element(
             B.order.begin() + lo, B.order.begin() + lo + na,
@@ -484,10 +501,14 @@ namespace {
 
 static int64_t sah_count(SahCtx& B, int64_t lo, int64_t hi) {
     const int64_t n = hi - lo;
-    if (n <= B.leaf_size) return 1;
-    // mirrors sah_range's chunk-packing split: exactly two leaves, and no
-    // deeper decisions depend on this range's partition order
-    if (n <= 2 * (int64_t)B.leaf_size) return 2;
+    const int64_t L = B.leaf_size;
+    if (n <= L) return 1;
+    // mirrors sah_range's chunk-packing splits exactly: the forced split
+    // points give deterministic leaf counts and no deeper decision
+    // depends on these ranges' partition order
+    if (n <= 2 * L) return 2;
+    if (n <= 3 * L) return 3;
+    if (n <= 4 * L) return 4;
     const int64_t min_side = std::max(B.min_side, n / 16);
     Box cb;
     for (int64_t i = lo; i < hi; ++i)

@@ -222,3 +222,66 @@ def test_disney_eval_reciprocal_positive():
     assert np.isfinite(f).all() and (f >= 0).all()
     f_below = np.asarray(bsdf.eval_f(surf, -wi, wo, present=(4,)))
     np.testing.assert_allclose(f_below, 0.0)
+
+
+def test_texture_flat_gather_matches_direct_3d():
+    """textures._read's flat 1D-index fetch (round-5 perf form) must return
+    the same texels as the direct 3D gather for a MIXED atlas: different
+    texture sizes inside one padded array and all three address modes."""
+    import jax.numpy as jnp
+
+    from terra_tpu import textures
+    from terra_tpu.scene import TextureAtlas
+
+    rng = np.random.default_rng(9)
+    H = W = 16
+    data = rng.random((3, H, W, 3)).astype(np.float32)
+    atlas = TextureAtlas(
+        data=jnp.asarray(data),
+        # texture 1 is SMALLER than the padded array (8x12): its wrap/
+        # mirror/clamp arithmetic must index inside its own extent
+        size=jnp.asarray([[16, 16], [8, 12], [16, 16]], np.int32),
+        filter=jnp.asarray([1, 1, 0], np.int32),
+        address=jnp.asarray(
+            [textures.ADDR_WRAP, textures.ADDR_MIRROR, textures.ADDR_CLAMP],
+            np.int32),
+    )
+    n = 4096
+    tex_id = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    # uvs beyond [0,1] exercise the address modes
+    uv = jnp.asarray((rng.random((n, 2)) * 3.0 - 1.0).astype(np.float32))
+    got = np.asarray(textures.sample(atlas, tex_id, uv))
+
+    # independent direct 3D-indexed reference of the same bilinear math
+    def read_ref(x, y):
+        h = np.asarray(atlas.size)[np.asarray(tex_id), 0]
+        w = np.asarray(atlas.size)[np.asarray(tex_id), 1]
+        mode = np.asarray(atlas.address)[np.asarray(tex_id)]
+        def addr(c, s):
+            wrap = np.remainder(c, s)
+            m = np.remainder(c, 2 * s)
+            mirror = np.where(m >= s, 2 * s - 1 - m, m)
+            clamp = np.clip(c, 0, s - 1)
+            return np.where(mode == textures.ADDR_WRAP, wrap,
+                            np.where(mode == textures.ADDR_MIRROR, mirror,
+                                     clamp))
+        return data[np.asarray(tex_id), addr(y, h), addr(x, w)]
+
+    h = np.asarray(atlas.size)[np.asarray(tex_id), 0].astype(np.float32)
+    w = np.asarray(atlas.size)[np.asarray(tex_id), 1].astype(np.float32)
+    fx = np.asarray(uv)[:, 0] * w
+    fy = np.asarray(uv)[:, 1] * h
+    ix = np.floor(fx).astype(np.int32)
+    iy = np.floor(fy).astype(np.int32)
+    n1 = read_ref(ix, iy)
+    n2 = read_ref(ix + 1, iy)
+    n3 = read_ref(ix, iy + 1)
+    n4 = read_ref(ix + 1, iy + 1)
+    wu = (fx - ix)[:, None]
+    wv = (fy - iy)[:, None]
+    bilinear = (n1 * (1 - wu) + n2 * wu) * (1 - wv) + (
+        n3 * (1 - wu) + n4 * wu) * wv
+    expect = np.where(
+        (np.asarray(atlas.filter)[np.asarray(tex_id)] == 1)[:, None],
+        bilinear, n1)
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)

@@ -231,6 +231,34 @@ def test_console_opt_propagation(monkeypatch):
     assert calls == [(0.0, 0.0, 0.0), (1.0, 1.0, 1.0)]
 
 
+def test_console_loop_pause(monkeypatch):
+    """`loop` with no count runs until `pause` (App.cpp:30-49 loop/pause
+    pair, Renderer.cpp:165-202): the poll is checked between progressive
+    passes and stops accumulation exactly there."""
+    import argparse
+
+    from terra_tpu import cli
+
+    polls = iter([False, False, True])
+    monkeypatch.setattr(cli, "_poll_pause", lambda: next(polls))
+    lines = iter([
+        "opt set width 8", "opt set height 8", "opt set render_samples 1",
+        "opt set render_bounces 0", "opt set render_integrator simple",
+        "loop",        # no count: runs until the 3rd poll pauses it
+        "pause",       # outside a loop: a no-op with a message
+        "exit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
+    out = []
+    monkeypatch.setattr("builtins.print", lambda *a, **k: out.append(" ".join(map(str, a))))
+    rc = cli.cmd_console(argparse.Namespace(scene=None, cornell=True))
+    assert rc == 0
+    assert any("paused after 3 passes" in s for s in out), out
+    # 3 passes x 1 spp accumulated, then pause-outside-loop messaged
+    assert any("3 spp accumulated" in s for s in out), out
+    assert any("nothing running" in s for s in out), out
+
+
 def test_cli_preview_every(tmp_path, monkeypatch):
     """--preview-every N rewrites the output during --passes (the headless
     analogue of the reference's progressive display, Visualization.cpp:213)."""

@@ -213,3 +213,30 @@ def test_pallas_paged_occlusion_and_anyhit():
     occ_a = pallas_traverse.raycast(scene, o, d, interpret=True, packed=packed,
                                     t_max=t_max, any_hit=True)
     np.testing.assert_array_equal(np.asarray(occ_a.hit), expect)
+
+
+def test_counted_traversal_matches_uncounted_and_decodes():
+    """count_steps instrumentation (round-5 decomposition counters) must
+    not perturb results, and count_decode's lane-packed fields must be
+    internally consistent (pops >= leaves, iters > 0, paged == 0 for a
+    resident table)."""
+    scene = tt.scenes.random_triangles(1500, seed=15, accelerator=tt.Accelerator.BVH)
+    bvh = scene.bvh
+    ta, tb, tc = scene.geometry.corners()
+    rng = np.random.default_rng(21)
+    n = 4096
+    o = jnp.asarray(rng.random((n, 3), np.float32) * 2 - 1)
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(v / np.linalg.norm(v, axis=1, keepdims=True))
+    packed = pallas_traverse.pack_tables_wide(bvh, ta, tb, tc, box_enc="f32")
+    kw = dict(interpret=True, packet_rows=32, ways=4, arity=4, box_enc="f32")
+    bt0, bi0 = pallas_traverse._traverse_pallas(bvh, *packed, o, d, **kw)
+    bt1, bi1, steps = pallas_traverse._traverse_pallas(
+        bvh, *packed, o, d, count_steps=True, **kw)
+    np.testing.assert_array_equal(np.asarray(bt0), np.asarray(bt1))
+    np.testing.assert_array_equal(np.asarray(bi0), np.asarray(bi1))
+    c = pallas_traverse.count_decode(np.asarray(steps), 32)
+    assert (c["iters"] > 0).all()
+    assert c["pops"].sum() >= c["leaves"].sum() > 0
+    assert (c["pops"] <= 4 * c["iters"]).all()
+    assert (c["paged"] == 0).all()
