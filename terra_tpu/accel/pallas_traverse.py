@@ -87,16 +87,25 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             has_tmax: bool = False, any_hit: bool = False,
             count_steps: bool = False,
             s_resident: int = 0, npq: int = 0,
-            row_mask: bool = False, pops_per_iter: int = 1):
+            row_mask: bool = False, pops_per_iter: int = 1,
+            has_starts: bool = False):
     paged = npq > 0
     if has_tmax:
         tm_ref, refs = refs[0], refs[1:]
+    nodes_ref, links_ref, tris_ref, *refs = refs
+    prows_ref = starts_ref = None
     if paged:
-        (nodes_ref, links_ref, tris_ref, prows_ref,
-         best_t_ref, best_i_ref, *rest) = refs
-    else:
-        prows_ref = None
-        nodes_ref, links_ref, tris_ref, best_t_ref, best_i_ref, *rest = refs
+        prows_ref, refs = refs[0], refs[1:]
+    if has_starts:
+        # per-WAY traversal start links (compacted two-phase mode): a flat
+        # SMEM table with one start link per (grid step, way) — a wide
+        # node id, or ni + leaf_id (the stack's own leaf encoding, which
+        # the pop path queues for a dense test natively). program_id is
+        # read HERE (outside run_scoped: interpret mode loses the grid
+        # context inside the scoped body).
+        starts_ref, refs = refs[0], refs[1:]
+        _start_base = pl.program_id(0) * ways
+    best_t_ref, best_i_ref, *rest = refs
     if count_steps:
         steps_ref, rest = rest[0], rest[1:]
     else:
@@ -467,7 +476,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             if steps_ref is not None:
                 steps_ref[...] = jnp.ones_like(best_i_ref[...])
         else:
-            stack_ref[0] = jnp.int32(0)
+            if has_starts:
+                stack_ref[0] = starts_ref[_start_base]
+            else:
+                stack_ref[0] = jnp.int32(0)
             _, _, steps = jax.lax.while_loop(
                 lambda state: (state[0] > 0) & (state[2] < cap),
                 round_body,
@@ -863,7 +875,10 @@ def _kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return tuple(sps) + cnt_out + (steps,)
 
         for w in range(ways):
-            stack_ref[w, 0] = jnp.int32(0)
+            if has_starts:
+                stack_ref[w, 0] = starts_ref[_start_base + w]
+            else:
+                stack_ref[w, 0] = jnp.int32(0)
 
         def outer_cond(st):
             alive = st[0] > 0
@@ -1164,7 +1179,8 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
                      paged_rows=None, s_resident: int = 0,
                      npq: int = PAGED_QUEUE,
                      row_mask: bool | None = None,
-                     pops_per_iter: int = 1):
+                     pops_per_iter: int = 1,
+                     start_links=None):
     """o, d: (N, 3) with N a multiple of packet_rows*128. ``packet_rows`` is
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
     ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
@@ -1234,6 +1250,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         count_steps=count_steps,
         s_resident=s_resident, npq=npq if paged else 0,
         row_mask=row_mask, pops_per_iter=pops_per_iter,
+        has_starts=start_links is not None,
     )
     n_out = 3 if count_steps else 2
     table_specs = [
@@ -1242,6 +1259,10 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
         pl.BlockSpec(memory_space=pl.ANY),       # tris: HBM rows
     ]
     tables = [nodes, links, tris]
+    if start_links is not None:
+        assert start_links.shape[0] == num_packets * max(ways, 1), (
+            f"start_links {start_links.shape} != packets {num_packets} x "
+            f"ways {ways}")
     scratch = [
         pltpu.VMEM((max(ways, 1) * queue, bvh.leaf_size, TRI_FIELDS),
                    jnp.float32),
@@ -1254,6 +1275,9 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
             pltpu.VMEM((max(ways, 1) * npq, PAGED_NODE_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((max(ways, 1) * npq,)),
         ]
+    if start_links is not None:
+        table_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # starts
+        tables.append(start_links.astype(jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(num_packets,),
