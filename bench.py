@@ -52,6 +52,39 @@ BASE_INVERSE_MS = 100.0  # target ms/step
 COURTYARD_TRIS = 241764  # pinned scene size; a drift means the scene changed
 
 
+def _steady_seconds(call, k1: int = 1, k2: int = 4):
+    """Steady-state seconds per call on the axon relay (round-5
+    methodology). The relay (a) serves REPEATED IDENTICAL dispatches
+    without re-executing and (b) does not treat block_until_ready on
+    unread outputs as a completion barrier — loop-then-block measured
+    0.1 ms for a kernel whose true execution is ~38 ms. Ground truth:
+    chain K DISTINCT dispatches (``call(i)`` must vary its input with
+    ``i`` and return a scalar DeviceArray), read only the last (its
+    host round-trip proves every chained execution completed on the
+    serial device), and DIFFERENCE two chain lengths to cancel the
+    ~30 ms dispatch+read latency: exec = (T(k2) - T(k1)) / (k2 - k1).
+    Measured stable to ~1% on the traversal kernel (38.5/38.0 ms).
+
+    Every chained output is KEPT ALIVE until the final read: a dropped
+    handle lets the relay garbage-collect the buffer and ELIDE that
+    execution entirely (config-1 measured 11.6e9 Mrays/s before this —
+    T(k2)-T(k1) collapsed to dispatch overhead)."""
+
+    def T(K, base):
+        t0 = time.perf_counter()
+        outs = [call(base + j) for j in range(K)]
+        float(outs[-1])
+        return time.perf_counter() - t0
+
+    T(1, 0)   # throwaway: the FIRST distinct-input call after a warm
+    # measured a one-time ~0.9 s anomaly (relay-side; config-1 probe)
+    t_a = T(k1, 1)
+    t_b = T(k2, k1 + 1)
+    if t_b <= t_a:  # anomaly leaked into t_a: retime it
+        t_a = T(k1, k1 + k2 + 1)
+    return max((t_b - t_a) / (k2 - k1), 1e-9)
+
+
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -136,17 +169,19 @@ def _timed_render(scene, cam, opts, key, shadow_rays_per_bounce: int):
     n_chunks = opts.samples_per_pixel // spp_chunk
 
     if n_chunks > 1:
-        def run():
-            return render_chunks(scene, cam, opts, key, jnp.int32(0),
-                                 spp_chunk, n_chunks)
+        def run(k):
+            return jnp.sum(render_chunks(scene, cam, opts, k, jnp.int32(0),
+                                         spp_chunk, n_chunks))
     else:
-        def run():
-            return render_chunk(scene, cam, opts, key, jnp.int32(0), spp_chunk)
+        def run(k):
+            return jnp.sum(render_chunk(scene, cam, opts, k, jnp.int32(0),
+                                        spp_chunk))
 
-    run().block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    run().block_until_ready()
-    dt = time.perf_counter() - t0
+    import jax as _jax
+
+    float(run(key))  # compile + warm
+    dt = _steady_seconds(lambda i: run(_jax.random.fold_in(key, i + 1)),
+                         k1=1, k2=3)
     return total_rays / dt / 1e6, dt
 
 
@@ -196,7 +231,7 @@ def _host_courtyard(**kw):
     with jax.default_device(cpu):
         scene = tt.scenes.courtyard(**kw)
     scene = jax.device_put(scene, jax.devices()[0])
-    jax.block_until_ready(scene.bvh.node_min)
+    np.asarray(scene.bvh.node_min[:1])  # host read = completion proof
     return scene
 
 
@@ -248,7 +283,7 @@ def bench_courtyard(tt, key):
     # isolate the BVH build itself (scene construction includes geometry)
     t0 = time.perf_counter()
     bvh = lbvh.build(scene.geometry, leaf_size=scene.bvh.leaf_size)
-    jax.block_until_ready(bvh.node_min)
+    np.asarray(bvh.node_min[:1])  # host read = completion proof
     build_ms = (time.perf_counter() - t0) * 1e3
 
     n = 1 << 20
@@ -280,14 +315,16 @@ def bench_courtyard(tt, key):
                                    box_enc=wmode or "f32")
 
     def timed(o, d, mode, hint=None):
-        run_j = jax.jit(functools.partial(run, mode=mode))
-        jax.block_until_ready(run_j(packed, o, d, hint=hint))
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = run_j(packed, o, d, hint=hint)
-        jax.block_until_ready(out)
-        return n / ((time.perf_counter() - t0) / reps) / 1e6
+        # round-5 steady-state methodology (_steady_seconds): distinct
+        # per-rep inputs (1e-6 origin jitter), dependent-scalar reads,
+        # latency cancelled by chain differencing
+        sum_j = jax.jit(lambda p, o, d, hint: jnp.sum(jnp.minimum(
+            run(p, o, d, hint=hint, mode=mode)[0], jnp.float32(1e9))))
+        perturbs = [o + np.float32(1e-6 * (k + 1)) for k in range(8)]
+        jax.block_until_ready(perturbs)
+        float(sum_j(packed, o, d, hint))
+        dt = _steady_seconds(lambda i: sum_j(packed, perturbs[i], d, hint))
+        return n / dt / 1e6
 
     # camera batches are known-coherent: direction-major key (dir3)
     mrays = timed(o, d, "dir3")
@@ -409,14 +446,13 @@ def bench_mega(tt, key):
         order = jnp.argsort(keys)
         return pt.traverse_packed(bvh, packed, o[order], d[order], mode=mode)
 
-    run_j = jax.jit(functools.partial(run, mode_s="dir3"))
-    jax.block_until_ready(run_j(packed, o, d))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run_j(packed, o, d)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    # round-5 steady-state methodology (_steady_seconds)
+    sum_j = jax.jit(lambda p, o, d: jnp.sum(jnp.minimum(
+        run(p, o, d, mode_s="dir3")[0], jnp.float32(1e9))))
+    perturbs = [o + np.float32(1e-6 * (k + 1)) for k in range(8)]
+    jax.block_until_ready(perturbs)
+    float(sum_j(packed, o, d))
+    dt = _steady_seconds(lambda i: sum_j(packed, perturbs[i], d))
     mrays = n / dt / 1e6
 
     # Limit-model annotation (PARITY "Traversal-kernel limit model"): one
@@ -477,12 +513,15 @@ def bench_inverse(tt, key):
     state = optim.TrainState(params, optimizer.init(params), jnp.int32(0))
     step = optim.make_train_step(cam, opts, target, optimizer)
     state, loss = step(state, scene0, key)
-    jax.block_until_ready(loss)
+    float(loss)  # host read = compile + warm completion proof
     steps = 20
+    # chained state dependencies make the steps sequential; the HOST
+    # round-trip of the final loss is the completion barrier (round-5
+    # methodology: block_until_ready on unread outputs is not one)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = step(state, scene0, key)
-    jax.block_until_ready(loss)
+    float(loss)
     ms = (time.perf_counter() - t0) / steps * 1e3
     _emit("inverse_step_ms", ms, "ms/step", BASE_INVERSE_MS / ms,
           final_loss=round(float(loss), 6))

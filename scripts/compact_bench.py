@@ -60,20 +60,37 @@ def main():
     packed = pt.pack_tables_auto(bvh, *scene.geometry.corners())
     print(f"box_enc={mode}", flush=True)
 
-    # classic baseline (sorted already)
+    # classic baseline (sorted already). Timing forces a dependent
+    # SCALAR onto the host per rep: on this relay, block_until_ready on
+    # unread outputs measured 0.1 ms for a 70 ms kernel (dedup/deferred
+    # execution); only a data round-trip is ground truth (round 5).
     run_j = jax.jit(lambda p, o, d: pt.traverse_packed(
         bvh, p, o, d, mode=mode))
+    sum_j = jax.jit(lambda p, o, d: jnp.sum(jnp.minimum(pt.traverse_packed(
+        bvh, p, o, d, mode=mode)[0], 1e9)))
     t0 = time.perf_counter()
     ref = run_j(packed, o, d)
     jax.block_until_ready(ref)
     print(f"classic compile+run {time.perf_counter()-t0:.1f}s", flush=True)
+    # block PER REP: the relay measured 0.1 ms for a 70 ms kernel under
+    # the loop-then-block pattern (round-5; mechanism unknown) — per-rep
+    # blocking reproduces stable 68-74 ms
+    # ... and PERTURB the origin per rep (jitter 1e-5): repeated
+    # IDENTICAL dispatches can be served from somewhere without
+    # re-executing even when blocked per rep (measured 0.1 ms for this
+    # 70 ms kernel), while distinct args always execute.
     reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        ref = run_j(packed, o, d)
-    jax.block_until_ready(ref)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"classic: {n/dt/1e6:.2f} Mrays/s ({dt*1e3:.1f} ms)", flush=True)
+    float(sum_j(packed, o, d))  # warm the summed variant
+    dts = []
+    for k in range(reps):
+        ok = o + np.float32(1e-5 * (k + 1))
+        jax.block_until_ready(ok)
+        t0 = time.perf_counter()
+        float(sum_j(packed, ok, d))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    print(f"classic: {n/dt/1e6:.2f} Mrays/s ({dt*1e3:.1f} ms) "
+          f"dts={[round(x*1e3,1) for x in dts]}", flush=True)
     rt, ri = np.asarray(ref[0]), np.asarray(ref[1])
 
     for M in args.M:
@@ -96,15 +113,19 @@ def main():
                 continue
             print(f"  shape {sh}: warm {time.perf_counter()-t0:.1f}s",
                   flush=True)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                hit = cc.raycast_compact(bvh, packed, fr, o, d,
+            dts = []
+            for k in range(reps):
+                ok = o + np.float32(1e-5 * (k + 1))
+                jax.block_until_ready(ok)
+                t0 = time.perf_counter()
+                hit = cc.raycast_compact(bvh, packed, fr, ok, d,
                                          rows_pp=rows_pp, ways=ways,
                                          rowsz=rows_pp * 128)
-            jax.block_until_ready(hit.t)
-            dt = (time.perf_counter() - t0) / reps
-            print(f"  shape {sh}: {n/dt/1e6:.2f} Mrays/s ({dt*1e3:.1f} ms)",
-                  flush=True)
+                float(jnp.sum(jnp.minimum(hit.t, 1e9)))  # force
+                dts.append(time.perf_counter() - t0)
+            dt = min(dts)
+            print(f"  shape {sh}: {n/dt/1e6:.2f} Mrays/s ({dt*1e3:.1f} ms) "
+                  f"dts={[round(x*1e3,1) for x in dts]}", flush=True)
             if args.check:
                 gt, gi = np.asarray(hit.t), np.asarray(hit.tri)
                 from terra_tpu.intersect import T_FAR
