@@ -1185,7 +1185,7 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     the BLOCK row count per grid step; with ``ways`` > 1 it splits into
     ``ways`` independent packets of packet_rows/ways rows each. ``t_max``:
     (N,) seeds per-ray best-t (occlusion queries)."""
-    n = o.shape[0]
+    n = (o[0] if isinstance(o, tuple) else o).shape[0]
     num_packets = n // (packet_rows * 128)
     rows = num_packets * packet_rows
     # Static SMEM-stack guard (the kernel's only unbounded structure):
@@ -1233,8 +1233,17 @@ def _traverse_pallas(bvh, nodes, links, tris, o, d, interpret: bool = False,
     def plane(v):
         return v.reshape(rows, 128)
 
-    comps = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-             plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2])]
+    # o/d may arrive as (N,3) arrays or as component TUPLES (ox,oy,oz):
+    # the payload-sort callers keep components separate to skip a
+    # round-trip restack + column re-slice (round 5).
+    if isinstance(o, tuple):
+        o_c, d_c = o, d
+    else:
+        o_c = (o[:, 0], o[:, 1], o[:, 2])
+        d_c = (d[:, 0], d[:, 1], d[:, 2])
+
+    comps = [plane(o_c[0]), plane(o_c[1]), plane(o_c[2]),
+             plane(d_c[0]), plane(d_c[1]), plane(d_c[2])]
     if t_max is not None:
         comps.append(plane(t_max))
 
@@ -1410,11 +1419,20 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         else:
             keys = xla_traverse._sort_keys(o, d, bvh.node_min[root], bvh.node_max[root],
                                            mode=sort_mode, bvh=bvh)
-        order = jnp.argsort(keys)
-        o = o[order]
-        d = d[order]
+        # Reorder via ONE multi-operand lax.sort carrying the components
+        # and an index payload: argsort + (N,3) row-gathers measured
+        # 5.7 ms/1M rays on this toolchain (HBM row-gather granularity)
+        # vs 1.5 ms for the payload sort (round 5, scripts in CLAUDE.md).
+        iota = jnp.arange(n, dtype=jnp.int32)
+        ops = (keys, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2])
         if tm is not None:
-            tm = tm[order]
+            ops = ops + (tm,)
+        srt = jax.lax.sort(ops + (iota,), num_keys=1)
+        o = srt[1:4]     # stay component-wise all the way to the kernel
+        d = srt[4:7]
+        if tm is not None:
+            tm = srt[7]
+        order = srt[-1]
 
     # Interleaved packets per grid step: one packet's reduction/scalar
     # latency (the dominant pop cost) hides under the others' vector work.
@@ -1432,8 +1450,14 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
         blk = PACKET
     pad = -n % blk
     if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
-        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
+        if isinstance(o, tuple):
+            zp = jnp.zeros((pad,), jnp.float32)
+            op = jnp.ones((pad,), jnp.float32)
+            o = tuple(jnp.concatenate([c, zp]) for c in o)
+            d = tuple(jnp.concatenate([c, op]) for c in d)
+        else:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)], axis=0)
         if tm is not None:
             tm = jnp.concatenate([tm, jnp.zeros((pad,), tm.dtype)], axis=0)
 
@@ -1447,9 +1471,11 @@ def raycast(scene, o, d, sort_rays: bool = True, interpret: bool = False,
     best_t = best_t[:n]
     best_i = best_i[:n]
     if order is not None:
-        inv = jnp.zeros_like(order).at[order].set(jnp.arange(n, dtype=order.dtype))
-        best_t = best_t[inv]
-        best_i = best_i[inv]
+        # unsort by sorting on the carried original indices (exact: the
+        # index payload is a permutation) — same payload-sort trick as
+        # the forward reorder, ~4x cheaper than inverse-gathering
+        _, best_t, best_i = jax.lax.sort((order, best_t, best_i),
+                                         num_keys=1)
     hit = best_t < (T_FAR if t_max is None else t_max)
     return RayHit(
         t=jax.lax.stop_gradient(best_t),
