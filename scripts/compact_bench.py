@@ -127,6 +127,10 @@ def main():
             print(f"  shape {sh}: {n/dt/1e6:.2f} Mrays/s ({dt*1e3:.1f} ms) "
                   f"dts={[round(x*1e3,1) for x in dts]}", flush=True)
             if args.check:
+                # check on the UNPERTURBED rays (the timed reps jitter o)
+                hit = cc.raycast_compact(bvh, packed, fr, o, d,
+                                         rows_pp=rows_pp, ways=ways,
+                                         rowsz=rows_pp * 128)
                 gt, gi = np.asarray(hit.t), np.asarray(hit.tri)
                 from terra_tpu.intersect import T_FAR
                 h1 = rt < T_FAR
